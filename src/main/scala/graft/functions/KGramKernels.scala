@@ -1,0 +1,116 @@
+package graft.functions
+
+import graft.core.{Bits, Fingerprint}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from generated code by the fingerprint
+  * expressions — kept codegen-friendly (no closures, primitive arrays).
+  */
+object KGramKernels {
+
+  /** Fingerprints of every s-token window of `tokens`. */
+  def sgramFingerprints(tokens: ArrayData, s: Int, hashBits: Int, seed: Long): ArrayData = {
+    val arr = tokens.toIntArray()
+    UnsafeArrayData.fromPrimitiveArray(Fingerprint.windowFingerprints(arr, s, hashBits, seed))
+  }
+
+  /** Fingerprints of every n-character shingle of UTF-8 `text`.
+    * Windows are taken over characters (ASCII text => bytes); each window's
+    * UTF-8 bytes feed XXH64.
+    */
+  def shingleFingerprints(text: UTF8String, n: Int, hashBits: Int, seed: Long): ArrayData = {
+    val str = text.toString
+    val len = str.length
+    val count = len - n + 1
+    if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    val mask = Bits.maskRight(hashBits)
+    var i = 0
+    while (i < count) {
+      val bytes = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(i) = Fingerprint.hashBytes(bytes, seed) & mask
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Fingerprint of one whole token array (used for exact-dedup keys). */
+  def arrayFingerprint(tokens: ArrayData, seed: Long): Long = {
+    val arr = tokens.toIntArray()
+    Fingerprint.hashWindow(arr, 0, arr.length, seed)
+  }
+
+  /** 64-bit SimHash over n-char shingles: sum per-bit votes of shingle
+    * fingerprints weighted +-1, sign -> bit.
+    */
+  def simhash(text: UTF8String, n: Int, seed: Long): Long = {
+    val str = text.toString
+    val len = str.length
+    val votes = new Array[Int](64)
+    val count = len - n + 1
+    if (count <= 0) return 0L
+    var i = 0
+    while (i < count) {
+      val bytes = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = Fingerprint.hashBytes(bytes, seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** MinHash signature: k minimum values of seeded xxh64 over the distinct
+    * n-char shingles (one hash family member per signature slot).
+    */
+  def minhashSignature(text: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
+    val str = text.toString
+    val count = str.length - n + 1
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (count > 0) {
+      var i = 0
+      while (i < count) {
+        val bytes = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val base = Fingerprint.hashBytes(bytes, seed)
+        var j = 0
+        while (j < k) {
+          // one cheap derived hash per family member (xorshift-mix of base)
+          val h = Fingerprint.splitmix64(base + j * 0x9e3779b97f4a7c15L)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Rolling polynomial fingerprint of a whole document (mod 2^61-1). */
+  def docFingerprint(text: UTF8String, seed: Long): Long = {
+    val bytes = text.getBytes
+    val M = (1L << 61) - 1
+    var h = Fingerprint.splitmix64(seed) & M
+    var i = 0
+    while (i < bytes.length) {
+      // h = h*B + byte mod M, with B chosen < 2^31 so the product fits i128-free
+      val hi = h >>> 31
+      val lo = h & ((1L << 31) - 1)
+      // h * 2^31 mod M == (hi*2^62 + lo*2^31) mod M; 2^62 mod M = 2
+      h = (hi * 2 + ((lo << 31) % M)) % M
+      h = (h + (bytes(i) & 0xffL) + 1) % M
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,137 @@
+package graft.plans
+
+import graft.operators.{BqfParams, SketchAggregators}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed build plans for BQF sketches.
+  *
+  * Scale design (100 TB / 1000 executors): per-partition partial sketches are
+  * produced by Catalyst's partial aggregation (ObjectHashAggregate keeps the
+  * filter as a JVM object per group); only serialized sketch blobs cross
+  * shuffle boundaries. The sharded path buckets rows by a deterministic
+  * xxhash64 of the row id, so shard membership is independent of Spark's
+  * physical partitioning — the property that makes checkpoints resumable and
+  * replays idempotent. Hot `source` values are handled by salt fan-out
+  * before the per-source merge (two-level aggregation), and wide merges fold
+  * through a bounded-fanout tree so no single reducer receives all blobs.
+  */
+object BqfPipeline {
+
+  /** One-shot global build: fingerprint arrays -> single serialized sketch.
+    * Plan: partial ObjectHashAggregate per partition -> single-row final
+    * merge (fine up to a few thousand partitions; beyond that use
+    * [[buildSharded]]).
+    */
+  def buildGlobal(df: DataFrame, fpCol: Column, params: BqfParams): Array[Byte] = {
+    val bqf = SketchAggregators.bqfOverFingerprintArrays(params)
+    df.agg(bqf(fpCol).as("sketch")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Deterministic-bucket sharded build with bounded-fanout tree merge.
+    * `idCol` must be a stable row identifier (e.g. doc_id).
+    */
+  def buildSharded(df: DataFrame, fpCol: Column, idCol: Column, params: BqfParams,
+                   nBuckets: Int, fanout: Int = 16): Array[Byte] = {
+    val bqf = SketchAggregators.bqfOverFingerprintArrays(params)
+    val shards = df
+      .withColumn("bucket", pmod(xxhash64(idCol), lit(nBuckets)))
+      .groupBy(col("bucket"))
+      .agg(bqf(fpCol).as("sketch"))
+    treeMerge(shards, nBuckets, fanout)
+  }
+
+  /** Fold (bucket, sketch) rows into one sketch through a merge tree with
+    * bounded fanout, so the final reducer never sees more than `fanout`
+    * blobs per level.
+    */
+  def treeMerge(shards0: DataFrame, width0: Int, fanout: Int): Array[Byte] = {
+    val merge = SketchAggregators.bqfMerge()
+    var shards = shards0
+    var width = width0
+    while (width > fanout) {
+      width = (width + fanout - 1) / fanout
+      shards = shards
+        .groupBy(pmod(col("bucket"), lit(width)).as("bucket"))
+        .agg(merge(col("sketch")).as("sketch"))
+    }
+    shards.agg(merge(col("sketch")).as("sketch")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Two-level skew-safe per-source build: hot `source` values fan out over
+    * `salts` deterministic salt buckets before the per-source merge, so no
+    * single task absorbs a hot key's entire row stream.
+    */
+  def buildPerSource(df: DataFrame, fpCol: Column, idCol: Column, sourceCol: Column,
+                     params: BqfParams, salts: Int = 8): DataFrame = {
+    val bqf = SketchAggregators.bqfOverFingerprintArrays(params)
+    val merge = SketchAggregators.bqfMerge()
+    df.withColumn("__salt", pmod(xxhash64(idCol), lit(salts)))
+      .groupBy(sourceCol.as("source"), col("__salt"))
+      .agg(bqf(fpCol).as("partial"))
+      .groupBy(col("source"))
+      .agg(merge(col("partial")).as("sketch"))
+  }
+}
+
+/** Resumable checkpointed build: shard sketches persist to a Parquet
+  * checkpoint table carrying Iceberg-shaped lineage columns (partition id,
+  * rows consumed, fingerprints consumed, merge depth, params tag, wall
+  * time). No Iceberg runtime ships in this offline sandbox, so the store is
+  * plain Parquet behind this interface; the commit unit is one batch job
+  * (Spark's committer makes each append atomic), and buckets are
+  * deterministic functions of row ids, so re-running a lost batch is
+  * idempotent.
+  */
+object CheckpointedBuild {
+  final val LineageColumns = Seq("bucket", "sketch", "rows_consumed",
+    "fingerprints_consumed", "merge_depth", "params_tag", "committed_at_ms")
+
+  private def paramsTag(p: BqfParams): String =
+    s"q${p.qBits}c${p.countBits}h${p.hashBits}m${p.mode.tag}k${p.kTokens}z${p.zTokens}s${p.seed}"
+
+  def committedBuckets(spark: SparkSession, dir: String): Set[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else spark.read.parquet(dir).select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Build shard sketches for every bucket not yet committed, in batches of
+    * `batchBuckets` (each batch = one atomic Parquet append). A killed run
+    * resumes by skipping committed buckets.
+    */
+  def run(df: DataFrame, fpCol: Column, idCol: Column, params: BqfParams,
+          nBuckets: Int, dir: String, batchBuckets: Int = 8,
+          maxBatches: Int = Int.MaxValue): Unit = {
+    val spark = df.sparkSession
+    val bqf = SketchAggregators.bqfOverFingerprintArrays(params)
+    val done = committedBuckets(spark, dir)
+    val missing = (0L until nBuckets.toLong).filterNot(done)
+    val tag = paramsTag(params)
+    val withBucket = df
+      .withColumn("__fps", fpCol)
+      .withColumn("bucket", pmod(xxhash64(idCol), lit(nBuckets)))
+    missing.grouped(batchBuckets).take(maxBatches).foreach { batch =>
+      withBucket
+        .filter(col("bucket").isin(batch: _*))
+        .groupBy(col("bucket"))
+        .agg(
+          bqf(col("__fps")).as("sketch"),
+          count(lit(1)).as("rows_consumed"),
+          sum(size(col("__fps"))).as("fingerprints_consumed"))
+        .withColumn("merge_depth", lit(0))
+        .withColumn("params_tag", lit(tag))
+        .withColumn("committed_at_ms", lit(System.currentTimeMillis()))
+        .select(LineageColumns.map(col): _*)
+        .write.mode("append").parquet(dir)
+    }
+  }
+
+  /** Merge all committed shards into the final sketch. */
+  def result(spark: SparkSession, dir: String, nBuckets: Int, fanout: Int = 16): Array[Byte] = {
+    val shards = spark.read.parquet(dir).select("bucket", "sketch")
+    BqfPipeline.treeMerge(shards, nBuckets, fanout)
+  }
+}
