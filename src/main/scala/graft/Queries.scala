@@ -1,0 +1,439 @@
+package graft
+
+import graft.core.BackpackFilter
+import graft.functions.GraftFunctions._
+import graft.operators.{BqfParams, BqfQuery, SketchAggregators}
+import graft.plans.BqfPipeline
+import graft.sources.TokensTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The operator catalog exposed to the driver harness: every entry is a
+  * `(SparkSession, sfDir) => DataFrame` over the read-only testdata tables,
+  * and [[Queries.oracles]] holds the DuckDB-executable exact SQL for each
+  * oracle-checkable entry (column names match exactly — the driver sorts
+  * columns by name before hashing).
+  *
+  * Sketch-backed queries (q01-q03) are the point of the library: Spark
+  * computes through the distributed BQF; the oracle recomputes exactly in
+  * SQL. They agree because exact counters with countBits=20 never saturate
+  * at these scales and the 2^-32 FP bound makes false hits on the probe sets
+  * vanishingly unlikely.
+  */
+object Queries {
+
+  /** Text-shingle sketch parameters: 8-char shingles, 48-bit fingerprints,
+    * 20-bit exact counters (r = 48 - q >= 28 -> FP <= 2^-28 at q=20).
+    */
+  val TextParams: BqfParams = BqfParams(qBits = 15, countBits = 20, hashBits = 48,
+    kTokens = 8, zTokens = 0, seed = 0L)
+  val ShingleN = 8
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** (doc_id, shingle) pairs — every n-char window of every document. */
+  private def shingles(spark: SparkSession, dir: String, n: Int): DataFrame =
+    docs(spark, dir)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("u"))
+      .select(col("doc_id"), expr(s"substring(text, u, $n)").as("shingle"))
+
+  /** DuckDB-side equivalent of [[shingles]] (shared CTE text). */
+  private def shinglesSql(n: Int): String =
+    s"""SELECT doc_id, substr(text, u, $n) AS shingle FROM (
+       |  SELECT doc_id, text, unnest(generate_series(1, length(text)-${n - 1}))::INT AS u
+       |  FROM documents WHERE length(text) >= $n)""".stripMargin
+
+  /** Build the text-shingle BQF for a scale dir and return a query handle. */
+  def buildTextSketch(spark: SparkSession, dir: String): BqfQuery = {
+    val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
+    val bytes = BqfPipeline.buildGlobal(
+      docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams)
+    new BqfQuery(spark, bytes)
+  }
+
+  private def fpOfShingle = (c: org.apache.spark.sql.Column) =>
+    element_at(shingle_fingerprints(c, ShingleN, TextParams.hashBits, TextParams.seed), 1)
+
+  // =====================================================================
+  // q01-q03: BQF sketch queries with exact SQL oracles
+  // =====================================================================
+
+  /** Abundance of every distinct shingle, answered by the sketch. */
+  def q01BqfAbundance(spark: SparkSession, dir: String): DataFrame = {
+    val q = buildTextSketch(spark, dir)
+    shingles(spark, dir, ShingleN).select("shingle").distinct()
+      .withColumn("abund", q.abundanceUdf(fpOfShingle(col("shingle"))))
+      .select("shingle", "abund")
+  }
+
+  /** The reference's `filter` verb: shingles seen at least twice. */
+  def q02BqfFilterGe2(spark: SparkSession, dir: String): DataFrame =
+    q01BqfAbundance(spark, dir).filter(col("abund") >= 2)
+
+  /** Membership over a mixed present/absent probe set. */
+  def q03BqfMembership(spark: SparkSession, dir: String): DataFrame = {
+    val q = buildTextSketch(spark, dir)
+    val present = docs(spark, dir)
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= ShingleN)
+      .select(col("text"), explode(sequence(lit(1), length(col("text")) - (ShingleN - 1))).as("u"))
+      .select(expr(s"substring(text, u, $ShingleN)").as("probe")).distinct()
+    val absent = spark.range(0, 1000)
+      .select(format_string("zzq%05d", col("id")).as("probe"))
+    present.unionAll(absent)
+      .withColumn("present", q.containsUdf(fpOfShingle(col("probe"))))
+      .select("probe", "present")
+  }
+
+  // =====================================================================
+  // q04-q11: training-data pipeline operators (dedup, similarity, text)
+  // =====================================================================
+
+  /** Exact deduplication: group identical texts, keep the minimum doc_id. */
+  def q04DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("text")
+    docs(spark, dir)
+      .withColumn("keeper", min("doc_id").over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keeper"))
+      .select("doc_id", "keeper", "is_dup")
+  }
+
+  /** Exact n-gram Jaccard similarity over discriminative (rare) 12-char
+    * shingles: pairs with similarity >= 0.3. The rare-shingle restriction
+    * bounds the inverted-index join fan-out (a hot shingle contributes
+    * count^2 pairs), which is what makes this plan survive scale-up.
+    */
+  def q05NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir, 12).distinct().withColumnRenamed("shingle", "s")
+    val rare = sh.groupBy("s").count().filter(col("count") <= 20).select("s")
+    val rs = sh.join(broadcast(rare), "s")
+    val sizes = rs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = rs.as("a").join(rs.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.3)
+      .select("a_id", "b_id", "jac")
+  }
+
+  /** MinHash-LSH near-dup candidates: 64-slot signatures, 16 bands x 4 rows;
+    * pairs colliding in >= 1 band. The scale path for q05 (no oracle: LSH is
+    * probabilistic; recall vs the exact answer is property-tested).
+    */
+  def q06MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = docs(spark, dir)
+      .select(col("doc_id"), minhash_signature(col("text"), 12, 64, 0L).as("sig"))
+    val bands = sig.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 15), b -> slice(sig, b * 4 + 1, 4))")))
+      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("band_matches"))
+  }
+
+  /** SimHash signatures (near-dup by small Hamming distance). */
+  def q07Simhash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), simhash(col("text"), 12, 0L).as("sig"))
+
+  /** Per-document quality metrics (length / word / distinct-word / stopword
+    * ratios) — all integer-derived, so they agree bit-for-bit with SQL.
+    */
+  def q08TextQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars2"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_words"),
+      size(array_distinct(expr("regexp_extract_all(text, '[a-z]+', 0)"))).cast("long").as("n_distinct_words"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
+      expr("(length(text) - length(replace(text, ' ', ''))) * 100L div length(text)").as("space_pct"),
+      expr("(length(text) - length(replace(text, ' the ', ''))) div 5").cast("long").as("the_count"))
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenization. */
+  def q09TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[^ ]+', 0)")).cast("long").as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)")).cast("long").as("n_bpe_tokens"))
+
+  /** Heuristic language id from stopword-occurrence scores (same arithmetic
+    * on both engines; the synthetic text is English-like so the value is the
+    * operator shape, not accuracy).
+    */
+  def q10LangId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(word: String) =
+      (length(col("text")) - length(replace(col("text"), lit(s" $word "), lit("")))) / lit(word.length + 2)
+    docs(spark, dir).select(
+        col("doc_id"), col("lang"),
+        hits("the").as("en_score"),
+        (hits("le") + hits("la") + hits("et")).as("fr_score"),
+        (hits("der") + hits("und")).as("de_score"))
+      .withColumn("predicted_lang",
+        when(col("en_score") >= col("fr_score") && col("en_score") >= col("de_score"), "en")
+          .when(col("fr_score") >= col("de_score"), "fr")
+          .otherwise("de"))
+      .select("doc_id", "lang", "predicted_lang")
+  }
+
+  /** Whole-document fingerprints (md5 — identical in both engines; the
+    * library's rolling-hash fingerprint is q-tested separately).
+    */
+  def q11DocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), md5(col("text")).as("fp_md5"))
+
+  // =====================================================================
+  // q12-q15: relational coverage (agg / join / window / sessionize)
+  // =====================================================================
+
+  def q12LangSourceStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+
+  /** TPC-H Q1-style aggregation (decimal-exact sums cast back to double). */
+  def q13PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Broadcast join + top-k: highest-revenue orders. */
+  def q14TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user (window functions; the
+    * batch shape of the streaming session operator).
+    */
+  def q15Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val flagged = e.withColumn("prev", lag("t", 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull || col("t") - col("prev") > 1800000000L, 1).otherwise(0))
+    flagged.withColumn("sess", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id")
+      .agg(max("sess").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** JSON extraction from event properties. */
+  def q16JsonProps(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"))
+
+  // =====================================================================
+  // q17+: similarity search / tokens-table / companion sketches (rows-only)
+  // =====================================================================
+
+  /** Brute-force cosine top-3 neighbors for the first 20 vectors (exact ANN
+    * baseline; double-precision sequential dot products).
+    */
+  def q17EmbeddingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dot = "aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val norm = (c: String) => s"sqrt(aggregate($c, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    val joined = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", expr(dot) / (expr(norm("qv")) * expr(norm("nv"))))
+    joined.withColumn("rank",
+        row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "nid")
+  }
+
+  /** LSH-bucketed approximate cosine neighbors: random-hyperplane signatures
+    * (16 bits), candidates share a signature; the scale path for q17.
+    */
+  def q18EmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // deterministic pseudo-random hyperplanes from splitmix64 via sgram hash of index
+    val sigExpr = (0 until 16).map { b =>
+      val dot = s"aggregate(zip_with(embedding, transform(sequence(0, size(embedding)-1), i -> " +
+        s"CAST(xxhash64($b * 1000003 + i) % 1000 AS DOUBLE) / 500.0 - 1.0), " +
+        s"(x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      s"CASE WHEN $dot > 0 THEN ${1 << b} ELSE 0 END"
+    }.mkString(" + ")
+    val sigs = emb.select(col("vec_id"), expr(sigExpr).as("sig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("a.sig").as("sig"))
+  }
+
+  /** Tokens-table flagship: per-source BQF sketches over the synthetic
+    * Iceberg-shaped table (validated rows), reporting per-source distinct
+    * s-gram counts from the sketch.
+    */
+  def q19TokensPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val params = BqfParams(qBits = 14, countBits = 16, hashBits = 48, kTokens = 8, zTokens = 2)
+    val nRows = 2000L
+    val df = TokensTable.validated(TokensTable.dataset(spark, nRows)).toDF()
+    val fps = sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)
+    BqfPipeline.buildPerSource(df, fps, col("doc_id"), col("source"), params, salts = 4)
+      .select(col("source"),
+        udf((b: Array[Byte]) => BackpackFilter.deserialize(b).distinctCount).apply(col("sketch")).as("distinct_sgrams"))
+      .orderBy("source")
+  }
+
+  /** Fimpera sequence-query stats over the tokens table: every doc queried
+    * against the global sketch (indexed docs -> full presence).
+    */
+  def q20TokensSeqStats(spark: SparkSession, dir: String): DataFrame = {
+    val params = BqfParams(qBits = 14, countBits = 16, hashBits = 48, kTokens = 8, zTokens = 2)
+    val df = TokensTable.dataframe(spark, 1000)
+    val fps = sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)
+    val q = new BqfQuery(spark, BqfPipeline.buildGlobal(df, fps, params))
+    df.withColumn("st", q.sequenceStatsUdf(col("tokens")))
+      .select(col("doc_id"), col("st.minimum").as("min_abund"),
+        col("st.maximum").as("max_abund"), col("st.presenceRatio").as("presence"))
+  }
+
+  /** Companion sketches side by side: HLL distinct estimate, exact distinct,
+    * count-min totals per source over text shingles.
+    */
+  def q21SketchCompare(spark: SparkSession, dir: String): DataFrame = {
+    val fps = shingle_fingerprints(col("text"), ShingleN, 48, 0L)
+    val hll = SketchAggregators.hllOverFingerprintArrays(p = 14)
+    docs(spark, dir).filter(length(col("text")) >= ShingleN)
+      .groupBy("source")
+      .agg(hll(fps).as("hll_distinct"),
+        countDistinct(col("text")).as("distinct_texts"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  // =====================================================================
+  // registry
+  // =====================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_bqf_abundance" -> (q01BqfAbundance _),
+    "q02_bqf_filter_ge2" -> (q02BqfFilterGe2 _),
+    "q03_bqf_membership" -> (q03BqfMembership _),
+    "q04_dedup_exact" -> (q04DedupExact _),
+    "q05_ngram_jaccard" -> (q05NgramJaccard _),
+    "q06_minhash_lsh" -> (q06MinhashLsh _),
+    "q07_simhash" -> (q07Simhash _),
+    "q08_text_quality" -> (q08TextQuality _),
+    "q09_token_counts" -> (q09TokenCounts _),
+    "q10_langid" -> (q10LangId _),
+    "q11_doc_fingerprint" -> (q11DocFingerprint _),
+    "q12_lang_source_stats" -> (q12LangSourceStats _),
+    "q13_pricing_summary" -> (q13PricingSummary _),
+    "q14_top_revenue" -> (q14TopRevenue _),
+    "q15_sessionize" -> (q15Sessionize _),
+    "q16_json_props" -> (q16JsonProps _),
+    "q17_embedding_topk" -> (q17EmbeddingTopK _),
+    "q18_embedding_lsh" -> (q18EmbeddingLsh _),
+    "q19_tokens_per_source" -> (q19TokensPerSource _),
+    "q20_tokens_seq_stats" -> (q20TokensSeqStats _),
+    "q21_sketch_compare" -> (q21SketchCompare _),
+  )
+
+  private val sh8 = shinglesSql(8)
+  private val sh12 = shinglesSql(12)
+
+  val oracles: Map[String, String] = Map(
+    "q01_bqf_abundance" ->
+      s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle",
+    "q02_bqf_filter_ge2" ->
+      s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
+    "q03_bqf_membership" ->
+      s"""WITH allsh AS (SELECT DISTINCT shingle FROM ($sh8)),
+         |probes AS (
+         |  SELECT DISTINCT shingle AS probe FROM ($sh8) WHERE doc_id % 7 = 0
+         |  UNION ALL SELECT printf('zzq%05d', i) FROM generate_series(0, 999) t(i))
+         |SELECT probe, probe IN (SELECT shingle FROM allsh) AS present FROM probes""".stripMargin,
+    "q04_dedup_exact" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper,
+        |       doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
+        |FROM documents""".stripMargin,
+    "q05_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle AS s FROM ($sh12)),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+         |rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |          FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a_id, b_id, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+         |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3""".stripMargin,
+    "q08_text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars2,
+        |  length(regexp_extract_all(text, '[a-z]+')) AS n_words,
+        |  length(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS n_distinct_words,
+        |  length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+        |  (length(text) - length(regexp_replace(text, ' ', '', 'g'))) * 100 // length(text) AS space_pct,
+        |  (length(text) - length(replace(text, ' the ', ''))) // 5 AS the_count
+        |FROM documents""".stripMargin,
+    "q09_token_counts" ->
+      """SELECT doc_id,
+        |  length(regexp_extract_all(text, '[^ ]+')) AS n_ws_tokens,
+        |  length(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q10_langid" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN en_score >= fr_score AND en_score >= de_score THEN 'en'
+        |       WHEN fr_score >= de_score THEN 'fr' ELSE 'de' END AS predicted_lang
+        |FROM (SELECT doc_id, lang,
+        |  (length(text) - length(replace(text, ' the ', ''))) // 5 AS en_score,
+        |  (length(text) - length(replace(text, ' le ', ''))) // 4
+        |    + (length(text) - length(replace(text, ' la ', ''))) // 4
+        |    + (length(text) - length(replace(text, ' et ', ''))) // 4 AS fr_score,
+        |  (length(text) - length(replace(text, ' der ', ''))) // 5
+        |    + (length(text) - length(replace(text, ' und ', ''))) // 5 AS de_score
+        |FROM documents)""".stripMargin,
+    "q11_doc_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "q12_lang_source_stats" ->
+      "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang, source",
+    "q13_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q14_top_revenue" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q15_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+        |g AS (SELECT user_id, t, event_id,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)
+        |SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM s GROUP BY user_id""".stripMargin,
+    "q16_json_props" ->
+      "SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n FROM events GROUP BY 1",
+  )
+}
