@@ -1,24 +1,125 @@
 package graft
+
+import graft.functions.GraftFunctions._
+import graft.operators.{BqfParams, BqfQuery}
+import graft.plans.BqfPipeline
+import graft.sources.TokensTable
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark: headline sketch-build/query throughput over the
+  * deterministic tokens table, the full operator catalog at the bench scale
+  * dir, and N-vs-4N-core scaling evidence (local[8] vs local[32] stands in
+  * for the two cluster sizes — no real cluster in this sandbox; see
+  * BASELINE.md). Prints ONE JSON line.
+  */
 object Bench {
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The headline job: distributed BQF build over `rows` synthetic docs.
+    * Returns (kgrams consumed, seconds).
+    */
+  private def buildTokensBqf(spark: SparkSession, rows: Long, cpus: Int): (Long, Double) = {
+    val params = BqfParams(qBits = 16, countBits = 8, hashBits = 48, kTokens = 8, zTokens = 2)
+    val df = TokensTable.dataframe(spark, rows, partitions = cpus)
+    val fps = sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)
+    val kgrams = df.select(sum(greatest(col("n_tok") - (params.sTokens - 1), lit(0)))).head().getLong(0)
+    val (_, sec) = time {
+      BqfPipeline.buildSharded(df, fps, col("doc_id"), params, nBuckets = cpus * 4, fanout = 8)
+    }
+    (kgrams, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "200000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+
+    var spark = session(cpus)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // 1. headline: tokens-table BQF build throughput
+    val (kgrams, buildSec) = buildTokensBqf(spark, benchRows, cpus)
+    results += "build_tokens_bqf" -> buildSec
+
+    // 2. point-query throughput: 3M+ abundance probes through the broadcast sketch
+    val queryParams = BqfParams(qBits = 16, countBits = 8, hashBits = 48, kTokens = 8, zTokens = 2)
+    val queryDf = TokensTable.dataframe(spark, 20000, partitions = cpus)
+    val qfps = sgram_fingerprints(col("tokens"), queryParams.sTokens, queryParams.hashBits, queryParams.seed)
+    val sketchBytes = BqfPipeline.buildGlobal(queryDf, qfps, queryParams)
+    val bq = new BqfQuery(spark, sketchBytes)
+    val (nProbes, probeSec) = time {
+      val n = queryDf.select(explode(qfps).as("fp"))
+        .select(bq.abundanceUdf(col("fp")).as("a")).filter(col("a") > 0).count()
+      n
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results += "point_queries" -> probeSec
+
+    // 3. Fimpera sequence-stats throughput
+    val (_, seqSec) = time {
+      queryDf.select(bq.sequenceStatsUdf(col("tokens")).as("st"))
+        .filter(col("st.presenceRatio") > 0).count()
+    }
+    results += "sequence_stats" -> seqSec
+
+    // 4. operator catalog at the bench scale dir
+    val catalog = Seq(
+      "q01_bqf_abundance", "q02_bqf_filter_ge2", "q03_bqf_membership",
+      "q04_dedup_exact", "q05_ngram_jaccard", "q06_minhash_lsh", "q07_simhash",
+      "q08_text_quality", "q09_token_counts", "q10_langid", "q11_doc_fingerprint",
+      "q12_lang_source_stats", "q13_pricing_summary", "q14_top_revenue",
+      "q15_sessionize", "q16_json_props", "q17_embedding_topk", "q18_embedding_lsh",
+      "q21_sketch_compare")
+    catalog.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      }
+      results += name -> sec
+    }
+
+    // 5. scaling evidence: same headline build at 1/4 of the cores
+    var scalingJson = ""
+    if (doScaling) {
+      val smallCpus = math.max(1, cpus / 4)
+      spark.stop()
+      spark = session(smallCpus)
+      val (_, smallSec) = buildTokensBqf(spark, benchRows, smallCpus)
+      val speedup = smallSec / buildSec
+      val efficiency = speedup / (cpus.toDouble / smallCpus)
+      scalingJson =
+        s""","scaling":{"cpus_small":$smallCpus,"cpus_large":$cpus,"sec_small":$smallSec,""" +
+        s""""sec_large":$buildSec,"speedup":$speedup,"efficiency":$efficiency}"""
+    }
+
+    val total = results.values.filter(_ >= 0).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val kgramsPerSec = (kgrams / buildSec).toLong
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","cpus":$cpus,"bench_rows":$benchRows,"kgrams":$kgrams""" +
+      s""","bqf_build_kgrams_per_sec":$kgramsPerSec,"point_probes":$nProbes""" +
+      s""","point_queries_per_sec":${(nProbes / probeSec).toLong}$scalingJson}""")
     spark.stop()
   }
 }

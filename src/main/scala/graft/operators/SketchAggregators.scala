@@ -133,6 +133,26 @@ class BloomArrayAggregator(mBits: Long, k: Int)
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+class TDigestAggregator(compression: Double)
+    extends Aggregator[Double, graft.sketch.TDigest, Array[Byte]] {
+  override def zero: graft.sketch.TDigest = new graft.sketch.TDigest(compression)
+  override def reduce(b: graft.sketch.TDigest, x: Double): graft.sketch.TDigest = { b.add(x); b }
+  override def merge(a: graft.sketch.TDigest, b: graft.sketch.TDigest): graft.sketch.TDigest = a.merge(b)
+  override def finish(r: graft.sketch.TDigest): Array[Byte] = r.serialize()
+  override def bufferEncoder: Encoder[graft.sketch.TDigest] = Encoders.kryo[graft.sketch.TDigest]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+class KllAggregator(k: Int)
+    extends Aggregator[Double, graft.sketch.KllSketch, Array[Byte]] {
+  override def zero: graft.sketch.KllSketch = new graft.sketch.KllSketch(k)
+  override def reduce(b: graft.sketch.KllSketch, x: Double): graft.sketch.KllSketch = { b.add(x); b }
+  override def merge(a: graft.sketch.KllSketch, b: graft.sketch.KllSketch): graft.sketch.KllSketch = a.merge(b)
+  override def finish(r: graft.sketch.KllSketch): Array[Byte] = r.serialize()
+  override def bufferEncoder: Encoder[graft.sketch.KllSketch] = Encoders.kryo[graft.sketch.KllSketch]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 /** udaf(...) registrations — each returns a Column-applicable function. */
 object SketchAggregators {
   private implicit val longArrayEnc: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
@@ -155,4 +175,10 @@ object SketchAggregators {
 
   def bloomOverFingerprintArrays(mBits: Long, k: Int): UserDefinedFunction =
     udaf(new BloomArrayAggregator(mBits, k), longArrayEnc)
+
+  def tdigest(compression: Double = 100.0): UserDefinedFunction =
+    udaf(new TDigestAggregator(compression), Encoders.scalaDouble)
+
+  def kll(k: Int = 200): UserDefinedFunction =
+    udaf(new KllAggregator(k), Encoders.scalaDouble)
 }
