@@ -757,18 +757,22 @@ final class BackpackFilter(
   def resize(n: Int): Unit = {
     if (n <= 0) return
     require(hashBits - (qBits + n) >= 1, s"cannot resize: remainder would vanish (q=$qBits n=$n hash=$hashBits)")
-    val saved = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nDistinct.toInt)
-    foreachRaw((fp, stored) => saved += (fp -> stored))
-    qBits += n
-    slotBits = hashBits - qBits + countBits
-    table = new Array[Long](wordsFor(qBits, slotBits))
-    sizeLimit = ((1L << qBits) * 0.95).toLong
-    nDistinct = 0
+    val fps = new Array[Long](nDistinct.toInt)
+    val counts = new Array[Long](nDistinct.toInt)
     var i = 0
-    while (i < saved.length) {
-      addEncoded(saved(i)._1, saved(i)._2, mergePath = true)
-      i += 1
-    }
+    foreachRaw { (fp, stored) => fps(i) = fp; counts(i) = stored; i += 1 }
+    val rebuilt = BackpackFilter.fromEntries(qBits + n, countBits, hashBits, mode,
+      kTokens, zTokens, seed, fps, counts, i)
+    adopt(rebuilt)
+  }
+
+  /** Take over another (parameter-compatible) filter's state. */
+  private def adopt(f: BackpackFilter): Unit = {
+    qBits = f.qBits
+    slotBits = f.slotBits
+    table = f.table
+    sizeLimit = f.sizeLimit
+    nDistinct = f.nDistinct
   }
 
   /** Associative, order-insensitive in-place merge: fold `other`'s entries
@@ -780,7 +784,12 @@ final class BackpackFilter(
     require(other.hashBits == hashBits && other.countBits == countBits && other.mode == mode
       && other.kTokens == kTokens && other.zTokens == zTokens,
       "cannot merge filters with different parameters")
-    other.foreachRaw((fp, stored) => this.addEncoded(fp, stored, mergePath = true))
+    // bulk path for real shard merges: gather + sort + one sequential build,
+    // O(n) regardless of load factor (per-insert merge degrades badly on
+    // dense tables — the shift window grows with cluster length). Small
+    // merges keep the incremental path (also exercises it under test).
+    if (nDistinct + other.nDistinct > 4096) adopt(BackpackFilter.mergeAll(Seq(this, other)))
+    else other.foreachRaw((fp, stored) => this.addEncoded(fp, stored, mergePath = true))
     this
   }
 
@@ -870,6 +879,222 @@ object BackpackFilter {
   def suggestQBits(expectedDistinct: Long): Int = {
     val q = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, expectedDistinct) - 1) + 1
     math.max(7, q)
+  }
+
+  /** Smallest q whose 95% load cap admits `n` distinct entries. */
+  def tightQBits(n: Long): Int = {
+    var q = 7
+    while ((((1L << q) * 0.95).toLong) <= n && q < 62) q += 1
+    q
+  }
+
+  /** Rotated sort key ordering fingerprints by (destination quotient,
+    * remainder) lexicographically — the physical layout order of the table.
+    */
+  @inline private def rotKey(fp: Long, q: Int, hashBits: Int): Long =
+    ((fp & maskRight(q)) << (hashBits - q)) | (fp >>> q)
+
+  @inline private def unrotate(key: Long, q: Int, hashBits: Int): Long = {
+    val rem = key & maskRight(hashBits - q)
+    val quot = key >>> (hashBits - q)
+    (rem << q) | quot
+  }
+
+  /** Stable LSD radix sort of `keys` (unsigned order, `keyBits` significant
+    * bits) carrying `vals` along — O(n * keyBits/8), no recursion, immune to
+    * adversarial orders (merge inputs arrive pre-sorted per shard).
+    */
+  private def sortPairs(keys: Array[Long], vals: Array[Long], n: Int, keyBits: Int): Unit = {
+    if (n <= 1) return
+    val tmpK = new Array[Long](n)
+    val tmpV = new Array[Long](n)
+    var src = (keys, vals)
+    var dst = (tmpK, tmpV)
+    val passes = (keyBits + 7) / 8
+    var pass = 0
+    while (pass < passes) {
+      val shift = pass * 8
+      val count = new Array[Int](257)
+      var i = 0
+      while (i < n) { count((((src._1(i) >>> shift) & 0xffL) + 1).toInt) += 1; i += 1 }
+      i = 1
+      while (i < 257) { count(i) += count(i - 1); i += 1 }
+      i = 0
+      while (i < n) {
+        val b = ((src._1(i) >>> shift) & 0xffL).toInt
+        val at = count(b)
+        dst._1(at) = src._1(i)
+        dst._2(at) = src._2(i)
+        count(b) = at + 1
+        i += 1
+      }
+      val t = src; src = dst; dst = t
+      pass += 1
+    }
+    if (src._1 ne keys) {
+      System.arraycopy(src._1, 0, keys, 0, n)
+      System.arraycopy(src._2, 0, vals, 0, n)
+    }
+  }
+
+  /** Bulk-build a filter from (fingerprint, storedCount) entry arrays in a
+    * single sequential pass — the scale path for merge/resize. The RSQF
+    * layout is canonical (runs in quotient order, each starting at
+    * max(quotient, previous end + 1), remainders ascending), so building
+    * from sorted entries yields a table bit-identical to incremental
+    * insertion; property tests assert exactly that.
+    *
+    * `combine`: how to fold duplicate fingerprints' stored counts
+    * (saturating add for exact, max for oom).
+    */
+  def fromEntries(qBits: Int, countBits: Int, hashBits: Int, mode: CountMode,
+                  kTokens: Int, zTokens: Int, seed: Long,
+                  fps: Array[Long], counts: Array[Long], n0: Int): BackpackFilter = {
+    // 1. sort by physical layout order
+    val keys = new Array[Long](n0)
+    var i = 0
+    while (i < n0) { keys(i) = rotKey(fps(i) & maskRight(hashBits), qBits, hashBits); i += 1 }
+    val vals = java.util.Arrays.copyOf(counts, n0)
+    sortPairs(keys, vals, n0, hashBits)
+
+    // 2. combine duplicate fingerprints
+    val cMax = (1L << countBits) - 1
+    var w = 0
+    i = 0
+    while (i < n0) {
+      var c = vals(i)
+      var j = i + 1
+      while (j < n0 && keys(j) == keys(i)) {
+        c = mode match {
+          case CountMode.Exact            => math.min(c + vals(j), cMax)
+          case CountMode.OrderOfMagnitude => math.max(c, vals(j))
+        }
+        j += 1
+      }
+      keys(w) = keys(i); vals(w) = math.min(c, cMax); w += 1
+      i = j
+    }
+    val n = w
+    // smallest q >= qBits with n < 0.95 * 2^q — exactly where incremental
+    // insertion's resize trigger (nDistinct + 1 >= sizeLimit) lands
+    var q = qBits
+    while ((((1L << q) * 0.95).toLong) <= n) q += 1
+    require(hashBits - q >= 1, s"entries exceed hash space (n=$n hashBits=$hashBits)")
+    if (q != qBits) {
+      // quotient width changed: keys must be re-rotated; recurse once
+      val fx = new Array[Long](n)
+      i = 0
+      while (i < n) { fx(i) = unrotate(keys(i), qBits, hashBits); i += 1 }
+      return fromEntries(q, countBits, hashBits, mode, kTokens, zTokens, seed, fx, vals, n)
+    }
+
+    val f = new BackpackFilter(q, countBits, hashBits, mode, kTokens, zTokens, seed)
+    if (n == 0) return f
+    val numSlots = 1L << q
+    val remShift = hashBits - q
+
+    // 3. group into runs (consecutive equal quotients)
+    var nRuns = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      val quot = keys(i) >>> remShift
+      while (j < n && (keys(j) >>> remShift) == quot) j += 1
+      nRuns += 1
+      i = j
+    }
+    val runQuot = new Array[Long](nRuns)
+    val runFrom = new Array[Int](nRuns)
+    val runLen = new Array[Int](nRuns)
+    var r = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      val quot = keys(i) >>> remShift
+      while (j < n && (keys(j) >>> remShift) == quot) j += 1
+      runQuot(r) = quot; runFrom(r) = i; runLen(r) = j - i
+      r += 1
+      i = j
+    }
+
+    // 4. leftmost-feasible placement in linear coordinates, iterated until
+    //    the toric carry (runs wrapping past the last slot) stabilizes
+    val runPos = new Array[Long](nRuns)
+    var carry = 0L
+    var stable = false
+    var guard = 0
+    while (!stable) {
+      var nextFree = carry
+      r = 0
+      while (r < nRuns) {
+        runPos(r) = math.max(runQuot(r), nextFree)
+        nextFree = runPos(r) + runLen(r)
+        r += 1
+      }
+      val newCarry = math.max(0L, nextFree - numSlots)
+      stable = newCarry == carry
+      carry = newCarry
+      guard += 1
+      if (guard > 64) throw new IllegalStateException("bulk placement did not converge")
+    }
+    require(carry < runQuot(0) + numSlots, "placement overflow") // sanity at <95% load
+
+    // 5. write slots + metadata
+    r = 0
+    while (r < nRuns) {
+      val quot = runQuot(r)
+      val p = runPos(r)
+      val e = p + runLen(r) - 1
+      f.setOccBit(quot >>> 6, (quot & 63L).toInt, 1L)
+      val endSlot = e & (numSlots - 1)
+      f.setRunBit(endSlot >>> 6, (endSlot & 63L).toInt, 1L)
+      var k = 0
+      while (k < runLen(r)) {
+        val key = keys(runFrom(r) + k)
+        val rem = key & maskRight(remShift)
+        val slot = (p + k) & (numSlots - 1)
+        setBits(f.table, f.slotBitPos(slot), (rem << countBits) | vals(runFrom(r) + k), f.slotBits)
+        k += 1
+      }
+      // offsets: every 64-aligned linear position s in [quot, e] records how
+      // far the last run whose quotient precedes s (in circular cluster
+      // order) spills past s. All candidate runs for one boundary belong to
+      // the same cluster and their ends increase along cluster order, so the
+      // max spill is exactly the last such run — this also resolves the
+      // toric seam, where wrapped tail runs and front runs write the same
+      // block-0 boundary from different linear frames.
+      var s = (quot + 63L) & ~63L
+      while (s <= e) {
+        val block = (s & (numSlots - 1)) >>> 6
+        val spill = e - s + 1
+        if (spill > f.offsetAt(block)) f.setOffsetAt(block, spill)
+        s += 64
+      }
+      r += 1
+    }
+    f.nDistinct = n
+    f
+  }
+
+  /** Merge many filters into a fresh one via the bulk path: O(total) gather
+    * + sort + single-pass build. This is what shuffle-boundary tree merges
+    * use — per-entry insert cost independent of load factor.
+    */
+  def mergeAll(filters: Seq[BackpackFilter]): BackpackFilter = {
+    require(filters.nonEmpty)
+    val h = filters.head
+    filters.tail.foreach(o => require(
+      o.hashBits == h.hashBits && o.countBits == h.countBits && o.mode == h.mode &&
+      o.kTokens == h.kTokens && o.zTokens == h.zTokens, "parameter mismatch in mergeAll"))
+    val total = filters.map(_.distinctCount).sum
+    require(total <= Int.MaxValue - 8, s"mergeAll too large: $total")
+    val fps = new Array[Long](total.toInt)
+    val counts = new Array[Long](total.toInt)
+    var i = 0
+    filters.foreach(_.foreachRaw { (fp, c) => fps(i) = fp; counts(i) = c; i += 1 })
+    val q = filters.map(_.quotientBits).max
+    fromEntries(math.max(q, tightQBits(total)), h.countBits, h.hashBits, h.mode,
+      h.kTokens, h.zTokens, h.seed, fps, counts, i)
   }
 
   def apply(qBits: Int, countBits: Int, hashBits: Int = 64, mode: CountMode = CountMode.Exact,

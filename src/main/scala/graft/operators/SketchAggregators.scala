@@ -29,6 +29,30 @@ final case class BqfParams(
     BackpackFilter(qBits, countBits, hashBits, mode, kTokens, zTokens, seed)
 }
 
+/** Aggregation buffer: a live filter absorbing this task's rows plus a list
+  * of already-built shards merged in from other partials. Keeping shards
+  * lazy lets `finish` fold them in ONE k-way bulk merge (gather + radix sort
+  * + sequential build) instead of k pairwise re-sorts — the final reducer of
+  * a wide aggregation touches each entry once. `cap` bounds buffered shards
+  * so executor memory stays flat on very wide merges.
+  */
+final class BqfShards(var live: BackpackFilter,
+                      var pending: List[BackpackFilter]) extends Serializable {
+  def absorb(other: BqfShards, cap: Int = 16): BqfShards = {
+    pending = other.live :: other.pending ::: pending
+    if (pending.size >= cap) consolidate()
+    this
+  }
+  def consolidate(): BqfShards = {
+    if (pending.nonEmpty) {
+      live = BackpackFilter.mergeAll(live :: pending)
+      pending = Nil
+    }
+    this
+  }
+  def result(): Array[Byte] = consolidate().live.serialize()
+}
+
 /** The central mergeable UDAF of the library: each executor folds the
   * fingerprint arrays of its partition into a local [[BackpackFilter]];
   * Catalyst's partial aggregation merges shard sketches at the shuffle
@@ -37,17 +61,16 @@ final case class BqfParams(
   * ObjectHashAggregate, serialized only when partials cross the exchange.
   */
 class BqfArrayAggregator(params: BqfParams)
-    extends Aggregator[Array[Long], BackpackFilter, Array[Byte]] {
-  override def zero: BackpackFilter = params.fresh()
-  override def reduce(b: BackpackFilter, fps: Array[Long]): BackpackFilter = {
+    extends Aggregator[Array[Long], BqfShards, Array[Byte]] {
+  override def zero: BqfShards = new BqfShards(params.fresh(), Nil)
+  override def reduce(b: BqfShards, fps: Array[Long]): BqfShards = {
     var i = 0
-    while (i < fps.length) { b.add(fps(i), 1L); i += 1 }
+    while (i < fps.length) { b.live.add(fps(i), 1L); i += 1 }
     b
   }
-  override def merge(a: BackpackFilter, b: BackpackFilter): BackpackFilter =
-    if (a.distinctCount >= b.distinctCount) a.mergeInPlace(b) else b.mergeInPlace(a)
-  override def finish(r: BackpackFilter): Array[Byte] = r.serialize()
-  override def bufferEncoder: Encoder[BackpackFilter] = Encoders.kryo[BackpackFilter]
+  override def merge(a: BqfShards, b: BqfShards): BqfShards = a.absorb(b)
+  override def finish(r: BqfShards): Array[Byte] = r.result()
+  override def bufferEncoder: Encoder[BqfShards] = Encoders.kryo[BqfShards]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
@@ -55,40 +78,37 @@ class BqfArrayAggregator(params: BqfParams)
   * reference's counted-s-mer input (/root/reference/src/abstract_bqf.cpp:22-52).
   */
 class BqfCountedAggregator(params: BqfParams)
-    extends Aggregator[(Long, Long), BackpackFilter, Array[Byte]] {
-  override def zero: BackpackFilter = params.fresh()
-  override def reduce(b: BackpackFilter, in: (Long, Long)): BackpackFilter = {
-    b.add(in._1, in._2); b
+    extends Aggregator[(Long, Long), BqfShards, Array[Byte]] {
+  override def zero: BqfShards = new BqfShards(params.fresh(), Nil)
+  override def reduce(b: BqfShards, in: (Long, Long)): BqfShards = {
+    b.live.add(in._1, in._2); b
   }
-  override def merge(a: BackpackFilter, b: BackpackFilter): BackpackFilter =
-    if (a.distinctCount >= b.distinctCount) a.mergeInPlace(b) else b.mergeInPlace(a)
-  override def finish(r: BackpackFilter): Array[Byte] = r.serialize()
-  override def bufferEncoder: Encoder[BackpackFilter] = Encoders.kryo[BackpackFilter]
+  override def merge(a: BqfShards, b: BqfShards): BqfShards = a.absorb(b)
+  override def finish(r: BqfShards): Array[Byte] = r.result()
+  override def bufferEncoder: Encoder[BqfShards] = Encoders.kryo[BqfShards]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
 /** Merges already-serialized shard sketches (tree-merge / checkpoint resume
-  * stages). Null buffer until the first shard avoids paying a fresh filter
-  * allocation for empty groups.
+  * stages). Null live filter until the first shard arrives.
   */
 class BqfMergeAggregator
-    extends Aggregator[Array[Byte], BackpackFilter, Array[Byte]] {
-  override def zero: BackpackFilter = null
-  override def reduce(b: BackpackFilter, bytes: Array[Byte]): BackpackFilter = {
+    extends Aggregator[Array[Byte], BqfShards, Array[Byte]] {
+  override def zero: BqfShards = new BqfShards(null, Nil)
+  override def reduce(b: BqfShards, bytes: Array[Byte]): BqfShards = {
     val shard = BackpackFilter.deserialize(bytes)
-    if (b == null) shard
-    else if (b.distinctCount >= shard.distinctCount) b.mergeInPlace(shard)
-    else shard.mergeInPlace(b)
+    if (b.live == null) b.live = shard else b.pending = shard :: b.pending
+    if (b.pending.size >= 16) b.consolidate()
+    b
   }
-  override def merge(a: BackpackFilter, b: BackpackFilter): BackpackFilter = {
-    if (a == null) b
-    else if (b == null) a
-    else if (a.distinctCount >= b.distinctCount) a.mergeInPlace(b)
-    else b.mergeInPlace(a)
+  override def merge(a: BqfShards, b: BqfShards): BqfShards = {
+    if (a.live == null) b
+    else if (b.live == null) a
+    else a.absorb(b)
   }
-  override def finish(r: BackpackFilter): Array[Byte] =
-    if (r == null) null else r.serialize()
-  override def bufferEncoder: Encoder[BackpackFilter] = Encoders.kryo[BackpackFilter]
+  override def finish(r: BqfShards): Array[Byte] =
+    if (r.live == null) null else r.result()
+  override def bufferEncoder: Encoder[BqfShards] = Encoders.kryo[BqfShards]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
