@@ -22,6 +22,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.kryoserializer.buffer.max", "512m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -34,32 +36,23 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** The headline job: distributed BQF build over `rows` synthetic docs.
-    * Returns (kgrams consumed, seconds).
-    */
-  private def buildTokensBqf(spark: SparkSession, rows: Long, cpus: Int): (Long, Double) = {
-    val params = BqfParams(qBits = 16, countBits = 8, hashBits = 48, kTokens = 8, zTokens = 2)
-    val df = TokensTable.dataframe(spark, rows, partitions = cpus)
-    val fps = sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)
-    val kgrams = df.select(sum(greatest(col("n_tok") - (params.sTokens - 1), lit(0)))).head().getLong(0)
-    val (_, sec) = time {
-      BqfPipeline.buildSharded(df, fps, col("doc_id"), params, nBuckets = cpus * 4, fanout = 8)
-    }
-    (kgrams, sec)
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "200000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "128").toInt
+    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 
-    var spark = session(cpus)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // 1. headline: tokens-table BQF build throughput
-    val (kgrams, buildSec) = buildTokensBqf(spark, benchRows, cpus)
+    // 1. headline: sharded BQF index build over the tokens table, in a fresh
+    // forked JVM (the same job at every parallelism level: FIXED shard
+    // count; isolation keeps heap/JIT state from skewing the comparison)
+    val (buildSec, kgrams) = BuildJob.forked(cpus, benchRows, nBuckets, heap)
     results += "build_tokens_bqf" -> buildSec
+
+    val spark = session(cpus)
 
     // 2. point-query throughput: 3M+ abundance probes through the broadcast sketch
     val queryParams = BqfParams(qBits = 16, countBits = 8, hashBits = 48, kTokens = 8, zTokens = 2)
@@ -98,13 +91,12 @@ object Bench {
       results += name -> sec
     }
 
-    // 5. scaling evidence: same headline build at 1/4 of the cores
+    // 5. scaling evidence: same headline job (same input, same shard count)
+    // at 1/4 of the cores, each measurement in its own fresh JVM
     var scalingJson = ""
     if (doScaling) {
       val smallCpus = math.max(1, cpus / 4)
-      spark.stop()
-      spark = session(smallCpus)
-      val (_, smallSec) = buildTokensBqf(spark, benchRows, smallCpus)
+      val (smallSec, _) = BuildJob.forked(smallCpus, benchRows, nBuckets, heap)
       val speedup = smallSec / buildSec
       val efficiency = speedup / (cpus.toDouble / smallCpus)
       scalingJson =

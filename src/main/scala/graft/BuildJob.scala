@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.operators.{BqfParams, SketchAggregators}
+import graft.sources.TokensTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One isolated headline-build measurement, meant to run in a fresh JVM so
+  * scaling comparisons aren't polluted by heap/JIT state from earlier runs.
+  * Builds the sharded sketch index (fixed shard count — the same job at any
+  * parallelism) and prints one JSON line.
+  *
+  * args: cpus rows nBuckets [mode: sorted|udaf]
+  */
+object BuildJob {
+  def main(args: Array[String]): Unit = {
+    val Array(cpus, rows, nBuckets) = args.take(3).map(_.toInt)
+    val mode = if (args.length > 3) args(3) else "sorted"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-build-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.kryoserializer.buffer.max", "512m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val params = BqfParams(qBits = 16, countBits = 8, hashBits = 48, kTokens = 8, zTokens = 2)
+    val df = TokensTable.dataframe(spark, rows.toLong, partitions = cpus)
+    val fps = sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)
+    val kgrams = df.select(sum(greatest(col("n_tok") - (params.sTokens - 1), lit(0)))).head().getLong(0)
+    val t0 = System.nanoTime()
+    // aggregate over the sketch bytes so Catalyst cannot prune the build
+    // (a bare .count() would optimize the sketch construction away)
+    mode match {
+      case "fps" => // decompose: fingerprint generation only
+        val n = df.select(explode(fps).as("fp")).count()
+        println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"fps"}""")
+        spark.stop(); return
+      case "shuffle" => // decompose: fingerprints + shuffle, no build
+        val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+        val n = df.select(explode(fps).as("fp"))
+          .repartition(nBuckets, expr(s"shiftrightunsigned(fp, $shift)"))
+          .count()
+        println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"shuffle"}""")
+        spark.stop(); return
+      case "consume" => // decompose: shuffle + typed iterator consumption
+        import spark.implicits._
+        val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+        val n = df.select(explode(fps).as("fp"))
+          .repartition(nBuckets, expr(s"shiftrightunsigned(fp, $shift)"))
+          .select("fp").as[Long]
+          .mapPartitions { it => var s = 0L; var c = 0L; it.foreach { v => s += v; c += 1 }; Iterator.single(c) }
+          .reduce(_ + _)
+        println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"consume"}""")
+        spark.stop(); return
+      case _ => ()
+    }
+    val shards = mode match {
+      case "udaf" =>
+        val bqf = SketchAggregators.bqfOverFingerprintArrays(params)
+        df.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)))
+          .groupBy(col("bucket"))
+          .agg(bqf(fps).as("sketch"))
+      case _ =>
+        graft.plans.BqfPipeline.buildIndexSorted(df, fps, params, nBuckets)
+    }
+    val row = shards
+      .agg(count(lit(1)).as("shards"), sum(octet_length(col("sketch"))).as("bytes"))
+      .head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"sec":$sec,"kgrams":$kgrams,"shards":${row.getLong(0)},"sketch_bytes":${row.getLong(1)},"cpus":$cpus,"mode":"$mode"}""")
+    spark.stop()
+  }
+
+  /** Fork a fresh JVM running this main; returns (seconds, kgrams). */
+  def forked(cpus: Int, rows: Long, nBuckets: Int, heap: String): (Double, Long) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ opens ++ Seq(
+      s"-Xmx$heap", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.BuildJob", cpus.toString, rows.toString, nBuckets.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
+    proc.waitFor()
+    val json = out.find(_.startsWith("""{"sec":"""))
+      .getOrElse(throw new RuntimeException(s"BuildJob produced no result; tail: ${out.takeRight(5).mkString(" | ")}"))
+    val sec = """"sec":([0-9.Ee+-]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
+    val kg = """"kgrams":([0-9]+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    (sec, kg)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.core.{BackpackFilter, SequenceStats}
+import graft.functions.GraftFunctions._
+import graft.operators.{BqfParams, BqfQuery}
+import graft.plans.BqfPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Spark-native analogue of the reference CLI's three verbs
+  * (/root/reference/src/main.cpp:10-15):
+  *
+  *   build  -i <tokens parquet> -o <sketch file> [-q Q -c C -k K -z Z]
+  *   query  -b <sketch file> -i <tokens parquet> -o <results parquet>
+  *   filter -i <tokens parquet> -o <out parquet> [-k K]
+  *
+  * `build` folds every s-gram fingerprint of the input's `tokens` column
+  * into a distributed BQF and persists it; `query` loads + broadcasts the
+  * sketch and writes per-row Fimpera statistics; `filter` emits each k-gram
+  * fingerprint seen at least twice (the counting-filter verb).
+  */
+object Cli {
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("-") => k -> v }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.Cli build|query|filter -i IN [-b SKETCH] [-o OUT] [-q Q -c C -k K -z Z]")
+      sys.exit(2)
+    }
+    val verb = args.head
+    val opts = parseArgs(args.tail)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName(s"graft-$verb")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.kryoserializer.buffer.max", "512m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val params = BqfParams(
+      qBits = opts.getOrElse("-q", "16").toInt,
+      countBits = opts.getOrElse("-c", "8").toInt,
+      hashBits = opts.getOrElse("-h", "48").toInt,
+      kTokens = opts.getOrElse("-k", "8").toInt,
+      zTokens = opts.getOrElse("-z", "2").toInt)
+
+    verb match {
+      case "build" =>
+        val df = spark.read.parquet(opts("-i"))
+        val t0 = System.nanoTime()
+        val bytes = BqfPipeline.buildSharded(df,
+          sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed),
+          col("doc_id"), params, nBuckets = 64)
+        BackpackFilter.saveToFile(BackpackFilter.deserialize(bytes), opts("-o"))
+        println(s"Construction time = ${(System.nanoTime() - t0) / 1000000}ms " +
+          s"(${BackpackFilter.deserialize(bytes).distinctCount} distinct s-grams)")
+
+      case "query" =>
+        val t0 = System.nanoTime()
+        val sketch = BackpackFilter.loadFromFile(opts("-b"))
+        val q = new BqfQuery(spark, sketch.serialize())
+        spark.read.parquet(opts("-i"))
+          .withColumn("st", q.sequenceStatsUdf(col("tokens")))
+          .select(col("doc_id"), col("st.minimum").as("minimum"),
+            col("st.maximum").as("maximum"), col("st.average").as("average"),
+            col("st.presenceRatio").as("presence_ratio"))
+          .write.mode("overwrite").parquet(opts("-o"))
+        println(s"Load + queries time = ${(System.nanoTime() - t0) / 1000000}ms")
+
+      case "filter" =>
+        val df = spark.read.parquet(opts("-i"))
+        df.select(explode(sgram_fingerprints(col("tokens"), params.kTokens, params.hashBits, params.seed)).as("kgram_fp"))
+          .groupBy("kgram_fp").count()
+          .filter(col("count") >= 2)
+          .write.mode("overwrite").parquet(opts("-o"))
+
+      case other =>
+        System.err.println(s"unknown verb: $other")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

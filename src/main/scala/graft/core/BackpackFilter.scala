@@ -156,20 +156,26 @@ final class BackpackFilter(
     * mirrors the offset-jump + select walk of the reference
     * (/root/reference/src/rsqf.cpp:762-815).
     */
-  private def runEndOf(quot: Long): (Long, Boolean) = {
+  /** Packed result flag: bit 62 set when the runend walk crossed out of
+    * the quotient's block (positions are < 2^q <= 2^62).
+    */
+  @inline private def packed(pos: Long, flag: Boolean): Long =
+    if (flag) pos | BackpackFilter.FlagBit else pos
+
+  private def runEndOf(quot: Long): Long = {
     val block = quot >>> 6
     val shift = (quot & 63L).toInt
     val off = offsetAt(block)
 
     if (shift == 0) {
-      if (off <= 1) return (quot, false)
-      else return (((quot + off - 1) & (numSlots - 1)), off - 1 >= 64)
+      if (off <= 1) return packed(quot, false)
+      else return packed((quot + off - 1) & (numSlots - 1), off - 1 >= 64)
     }
 
     var nRuns = rank(occWordAt(block) & maskLeft(63), shift).toLong
     if (nRuns == 0) {
       val off0 = if (off == 0) 0 else off - 1
-      return ((((block << 6) + off0) & (numSlots - 1)), off0 >= 64)
+      return packed(((block << 6) + off0) & (numSlots - 1), off0 >= 64)
     }
 
     val posAfterJump = ((block << 6) + off) & (numSlots - 1)
@@ -188,7 +194,7 @@ final class BackpackFilter(
       guard -= 1
       if (guard < 0) throw new IllegalStateException(s"runEndOf($quot): runend walk did not terminate")
     }
-    ((curBlock << 6) + sel, crossed)
+    packed((curBlock << 6) + sel, crossed)
   }
 
   /** First slot of `quot`'s run — or, when `occupied` is false, the slot
@@ -268,24 +274,25 @@ final class BackpackFilter(
     nextSlot((curBlock << 6) + lastEnd)
   }
 
-  /** (runstart, runend) of an occupied quotient's run. */
-  private def runBoundaries(quot: Long): (Long, Long) =
-    (runStartOf(quot, occupied = true), runEndOf(quot)._1)
+  @inline private def runEndPos(quot: Long): Long = runEndOf(quot) & ~BackpackFilter.FlagBit
 
   /** First free slot at/after `quot` — the right edge of the shift window an
     * insertion at `quot` must move (/root/reference/src/rsqf.cpp:730-759).
     */
   private def firstUnusedSlot(quot0: Long): Long = {
+    val Flag = BackpackFilter.FlagBit
     var quot = quot0
-    var (endPos, crossed) = runEndOf(quot)
+    var r = runEndOf(quot)
+    var endPos = r & ~Flag
+    var crossed = (r & Flag) != 0
     @inline def emptyShift0(p: Long, c: Boolean): Boolean =
       (p & 63L) == 0 && !c && offsetAt(p >>> 6) == 0
     if (emptyShift0(endPos, crossed)) return quot
     var guard = numSlots + 2
     while (crossed || quot <= endPos) {
       quot = nextSlot(endPos)
-      val r = runEndOf(quot)
-      endPos = r._1; crossed = r._2
+      r = runEndOf(quot)
+      endPos = r & ~Flag; crossed = (r & Flag) != 0
       if (emptyShift0(endPos, crossed)) return quot
       guard -= 1
       if (guard < 0) throw new IllegalStateException("firstUnusedSlot did not terminate (filter full?)")
@@ -297,8 +304,11 @@ final class BackpackFilter(
     * starts its own run (/root/reference/src/rsqf.cpp:696-728).
     */
   private def firstUnshiftableSlot(quot0: Long): Long = {
+    val Flag = BackpackFilter.FlagBit
     var quot = quot0
-    var (endPos, crossed) = runEndOf(quot)
+    var r = runEndOf(quot)
+    var endPos = r & ~Flag
+    var crossed = (r & Flag) != 0
     @inline def emptyShift0(p: Long, c: Boolean): Boolean =
       (p & 63L) == 0 && !c && offsetAt(p >>> 6) == 0
     if (emptyShift0(endPos, crossed)) return quot
@@ -306,8 +316,8 @@ final class BackpackFilter(
     while (crossed || quot < endPos) {
       quot = nextSlot(endPos)
       if (runStartOf(quot, isOccupied(quot)) == quot) return endPos
-      val r = runEndOf(quot)
-      endPos = r._1; crossed = r._2
+      r = runEndOf(quot)
+      endPos = r & ~Flag; crossed = (r & Flag) != 0
       if (emptyShift0(endPos, crossed)) return quot
       guard -= 1
       if (guard < 0) throw new IllegalStateException("firstUnshiftableSlot did not terminate")
@@ -548,7 +558,7 @@ final class BackpackFilter(
     * remainders; returns (position, found) where position is the insertion
     * point when not found (/root/reference/src/abstract_bqf.cpp:59-97).
     */
-  private def findInRun(runStart: Long, runEnd: Long, rem: Long): (Long, Boolean) = {
+  private def findInRun(runStart: Long, runEnd: Long, rem: Long): Long = {
     val qMask = maskRight(qBits)
     var left = runStart
     var right = if (runEnd < runStart) runEnd | (1L << qBits) else runEnd
@@ -569,7 +579,7 @@ final class BackpackFilter(
       else left = middle + 1
       if (continue && left > right) continue = false
     }
-    (position, found)
+    packed(position, found)
   }
 
   /** Insert `count` occurrences of fingerprint `fp` (auto-resizes at the 95%
@@ -586,19 +596,23 @@ final class BackpackFilter(
     val rem = fp >>> qBits
     val slotVal = (rem << countBits) | (storedCount & countMask)
 
-    val fus = firstUnusedSlot(quot)
     if (!isOccupied(quot)) {
+      val fus = firstUnusedSlot(quot)
       val start = runStartOf(quot, occupied = false)
       setOccBit(quot >>> 6, (quot & 63L).toInt, 1L)
       shiftRunendsForInsert(quot, 1L, start, fus)
       nDistinct += 1
       shiftSlotsAndSet(start, fus, slotVal)
     } else {
-      val (rs, re) = runBoundaries(quot)
-      val (pos, found) = findInRun(rs, re, rem)
-      if (found) {
+      val rs = runStartOf(quot, occupied = true)
+      val re = runEndPos(quot)
+      val pf = findInRun(rs, re, rem)
+      val pos = pf & ~BackpackFilter.FlagBit
+      if ((pf & BackpackFilter.FlagBit) != 0) {
+        // duplicate: counter update only — no shift window needed
         if (mergePath) mergeCounter(pos, storedCount) else bumpCounter(pos, slotVal)
       } else {
+        val fus = firstUnusedSlot(quot)
         shiftRunendsForInsert(quot, 0L, rs, fus)
         nDistinct += 1
         shiftSlotsAndSet(pos, fus, slotVal)
@@ -618,8 +632,8 @@ final class BackpackFilter(
     val rem = fp >>> qBits
     val slotVal = rem << 1 // first occurrence stores count bit 0
 
-    val fus = firstUnusedSlot(quot)
     if (!isOccupied(quot)) {
+      val fus = firstUnusedSlot(quot)
       val start = runStartOf(quot, occupied = false)
       setOccBit(quot >>> 6, (quot & 63L).toInt, 1L)
       shiftRunendsForInsert(quot, 1L, start, fus)
@@ -627,14 +641,17 @@ final class BackpackFilter(
       shiftSlotsAndSet(start, fus, slotVal)
       false
     } else {
-      val (rs, re) = runBoundaries(quot)
-      val (pos, found) = findInRun(rs, re, rem)
-      if (found) {
+      val rs = runStartOf(quot, occupied = true)
+      val re = runEndPos(quot)
+      val pf = findInRun(rs, re, rem)
+      val pos = pf & ~BackpackFilter.FlagBit
+      if ((pf & BackpackFilter.FlagBit) != 0) {
         val old = slotValue(pos)
         val second = (old & 1L) == 0L
         if (second) setBits(table, slotBitPos(pos), old | 1L, slotBits)
         second
       } else {
+        val fus = firstUnusedSlot(quot)
         shiftRunendsForInsert(quot, 0L, rs, fus)
         nDistinct += 1
         shiftSlotsAndSet(pos, fus, slotVal)
@@ -653,9 +670,12 @@ final class BackpackFilter(
     val quot = fp & maskRight(qBits)
     val rem = fp >>> qBits
     if (!isOccupied(quot)) return 0L
-    val (rs, re) = runBoundaries(quot)
-    val (pos, found) = findInRun(rs, re, rem)
-    if (found) decodeCount(slotValue(pos) & countMask) else 0L
+    val rs = runStartOf(quot, occupied = true)
+    val re = runEndPos(quot)
+    val pf = findInRun(rs, re, rem)
+    if ((pf & BackpackFilter.FlagBit) != 0)
+      decodeCount(slotValue(pf & ~BackpackFilter.FlagBit) & countMask)
+    else 0L
   }
 
   /** Membership test (abundance > 0). */
@@ -671,9 +691,11 @@ final class BackpackFilter(
     val quot = fp & maskRight(qBits)
     val rem = fp >>> qBits
     if (!isOccupied(quot)) return false
-    val (rs, re) = runBoundaries(quot)
-    val (pos, found) = findInRun(rs, re, rem)
-    if (!found) return false
+    val rs = runStartOf(quot, occupied = true)
+    val re = runEndPos(quot)
+    val pf = findInRun(rs, re, rem)
+    if ((pf & BackpackFilter.FlagBit) == 0) return false
+    val pos = pf & ~BackpackFilter.FlagBit
 
     val stored = slotValue(pos) & countMask
     if (mode == CountMode.Exact && count < stored) {
@@ -713,7 +735,8 @@ final class BackpackFilter(
         while (i < 64) {
           if ((occ & 1L) != 0) {
             val quot = (block << 6) + i
-            val (rs, re) = runBoundaries(quot)
+            val rs = runStartOf(quot, occupied = true)
+            val re = runEndPos(quot)
             var cursor = rs
             var done = false
             while (!done) {
@@ -873,6 +896,9 @@ final class BackpackFilter(
 }
 
 object BackpackFilter {
+  /** High bit used to pack a boolean flag next to a slot position. */
+  final val FlagBit: Long = 1L << 62
+
   /** Quotient sizing rule from the reference help text: one bit of headroom
     * over the expected distinct count (q = ceil(log2(n)) + 1, min 7).
     */
@@ -1100,6 +1126,32 @@ object BackpackFilter {
   def apply(qBits: Int, countBits: Int, hashBits: Int = 64, mode: CountMode = CountMode.Exact,
             kTokens: Int = 0, zTokens: Int = 0, seed: Long = 0L): BackpackFilter =
     new BackpackFilter(qBits, countBits, hashBits, mode, kTokens, zTokens, seed)
+
+  /** Largest quotient size whose table fits in `maxBytes` — the reference's
+    * memory-driven constructor rule (find_quotient_given_memory,
+    * /root/reference/src/rsqf.cpp:153-172, abstract_bqf.cpp:491-509).
+    */
+  def qBitsForMemory(maxBytes: Long, countBits: Int, hashBits: Int): Int = {
+    var q = 62
+    while (q >= 7) {
+      val slotBits = hashBits - q + countBits
+      if (slotBits >= 1 && slotBits <= 63) {
+        val words = (1L << math.max(0, q - 6)) * (3 + slotBits)
+        if (words * 8 <= maxBytes) return q
+      }
+      q -= 1
+    }
+    7
+  }
+
+  /** File save/load mirroring the reference CLI's sketch persistence
+    * (save_on_disk / load_from_disk, /root/reference/src/abstract_bqf.cpp:512-529).
+    */
+  def saveToFile(f: BackpackFilter, path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), f.serialize())
+
+  def loadFromFile(path: String): BackpackFilter =
+    deserialize(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
 
   def deserialize(bytes: Array[Byte]): BackpackFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)

@@ -38,6 +38,16 @@ object MicroBench {
       shards.reduce((a, b) => if (a.distinctCount >= b.distinctCount) a.mergeInPlace(b) else b.mergeInPlace(a))
     }
 
+    // bulk build from raw entries (the sorted index path per shard)
+    val ones = new Array[Long](n)
+    java.util.Arrays.fill(ones, 1L)
+    time("fromEntries 1M (start q=7)", n) {
+      BackpackFilter.fromEntries(7, 8, 48, CountMode.Exact, 0, 0, 0L, fps, ones, n)
+    }
+    time("fromEntries 1M (start q=21)", n) {
+      BackpackFilter.fromEntries(21, 8, 48, CountMode.Exact, 0, 0, 0L, fps, ones, n)
+    }
+
     // duplicate-heavy: zipfish duplicates (counter bumps, no growth)
     val dupFps = Array.fill(n)(fps(rng.nextInt(100000)))
     val fd = BackpackFilter(qBits = 18, countBits = 8, hashBits = 48)

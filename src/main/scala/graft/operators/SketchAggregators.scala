@@ -25,7 +25,17 @@ final case class BqfParams(
     seed: Long = 0L) {
   /** Tokens per inserted s-gram: s = k - z. */
   def sTokens: Int = kTokens - zTokens
+
+  /** Aggregation zero buffers start tiny (q=7, ~1.3 KB) and auto-resize:
+    * growth is amortized O(n) through the bulk rebuild, while a full-size
+    * zero would cost 2^qBits words per (group x partition) buffer — a
+    * memory/caching disaster for wide grouped builds.
+    */
   def fresh(): BackpackFilter =
+    BackpackFilter(math.min(qBits, 12), countBits, hashBits, mode, kTokens, zTokens, seed)
+
+  /** Full-size filter at the declared qBits (query-side / direct use). */
+  def freshSized(): BackpackFilter =
     BackpackFilter(qBits, countBits, hashBits, mode, kTokens, zTokens, seed)
 }
 

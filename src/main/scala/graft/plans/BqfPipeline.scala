@@ -41,6 +41,53 @@ object BqfPipeline {
     treeMerge(shards, nBuckets, fanout)
   }
 
+  /** Scale-path index build: explode fingerprints, shuffle them to
+    * fingerprint-range buckets (high bits, so quotients inside each shard
+    * stay uniform), and construct each shard filter in ONE sequential pass
+    * from its gathered entries — no per-insert aggregation, no buffer
+    * resize churn, no big-object serialization beyond the final sketch
+    * blobs. Point queries route to a shard by the same high bits. This is
+    * how the build survives 100 TB: Spark's shuffle machinery moves 8-byte
+    * fingerprints; the sketch is only materialized once per shard.
+    *
+    * Returns (bucket, serialized sketch) rows; `nBuckets` must be a power
+    * of two.
+    */
+  def buildIndexSorted(df: DataFrame, fpCol: Column, params: graft.operators.BqfParams,
+                       nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0, "nBuckets must be a power of 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketBits = java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val shift = params.hashBits - bucketBits
+    val fps = df.select(explode(fpCol).as("fp"))
+      .repartition(nBuckets, expr(s"shiftrightunsigned(fp, $shift)"))
+      .select("fp").as[Long]
+    fps.mapPartitions { it =>
+      val tg0 = System.nanoTime()
+      val perBucket = scala.collection.mutable.LongMap.empty[scala.collection.mutable.ArrayBuilder.ofLong]
+      var nrows = 0L
+      it.foreach { fp =>
+        val bucket = fp >>> shift
+        perBucket.getOrElseUpdate(bucket, new scala.collection.mutable.ArrayBuilder.ofLong).addOne(fp)
+        nrows += 1
+      }
+      val tg1 = System.nanoTime()
+      val out = perBucket.iterator.map { case (bucket, builder) =>
+        val entries = builder.result()
+        val ones = new Array[Long](entries.length)
+        java.util.Arrays.fill(ones, 1L)
+        val tb0 = System.nanoTime()
+        val f = graft.core.BackpackFilter.fromEntries(
+          7, params.countBits, params.hashBits, params.mode,
+          params.kTokens, params.zTokens, params.seed, entries, ones, entries.length)
+        System.err.println(f"[instr] bucket=$bucket n=${entries.length} build=${(System.nanoTime - tb0)/1e9}%.2fs gather=${(tg1-tg0)/1e9}%.2fs rows=$nrows")
+        (bucket, f.serialize())
+      }
+      out
+    }.toDF("bucket", "sketch")
+  }
+
   /** Fold (bucket, sketch) rows into one sketch through a merge tree with
     * bounded fanout, so the final reducer never sees more than `fanout`
     * blobs per level.
