@@ -322,6 +322,28 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Quantile sketches over event values: t-digest and KLL estimates next
+    * to the exact percentile, per event type (rows-only: approximate ops;
+    * error bounds are property-tested in the sketch suites).
+    */
+  def q22Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val td = SketchAggregators.tdigest(compression = 100)
+    val kll = SketchAggregators.kll(k = 200)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val sketched = ev.groupBy("event_type")
+      .agg(td(col("value")).as("td"), kll(col("value")).as("kll"),
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("percentile(value, 0.95)").as("exact_p95"))
+    val tdQ = udf((b: Array[Byte], q: Double) => graft.sketch.TDigest.deserialize(b).quantile(q))
+    val kllQ = udf((b: Array[Byte], q: Double) => graft.sketch.KllSketch.deserialize(b).quantile(q))
+    sketched.select(col("event_type"),
+        tdQ(col("td"), lit(0.5)).as("td_p50"), kllQ(col("kll"), lit(0.5)).as("kll_p50"),
+        col("exact_p50"),
+        tdQ(col("td"), lit(0.95)).as("td_p95"), kllQ(col("kll"), lit(0.95)).as("kll_p95"),
+        col("exact_p95"))
+      .orderBy("event_type")
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -348,6 +370,7 @@ object Queries {
     "q19_tokens_per_source" -> (q19TokensPerSource _),
     "q20_tokens_seq_stats" -> (q20TokensSeqStats _),
     "q21_sketch_compare" -> (q21SketchCompare _),
+    "q22_quantiles" -> (q22Quantiles _),
   )
 
   private val sh8 = shinglesSql(8)
