@@ -248,14 +248,17 @@ object Queries {
     * baseline; double-precision sequential dot products).
     */
   def q17EmbeddingTopK(spark: SparkSession, dir: String): DataFrame = {
+    // norms are precomputed per vector BEFORE the cross join — recomputing
+    // them per pair would redo an O(d) reduction n_q * n times
+    val norm = "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), expr(norm).as("nrm"))
     val dot = "aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    val norm = (c: String) => s"sqrt(aggregate($c, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     val joined = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn")))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", expr(dot) / (expr(norm("qv")) * expr(norm("nv"))))
+      .withColumn("sim", expr(dot) / (col("qn") * col("nn")))
     joined.withColumn("rank",
         row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
       .filter(col("rank") <= 3)
