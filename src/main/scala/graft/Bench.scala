@@ -42,7 +42,10 @@ object Bench {
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "200000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "128").toInt
-    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    // forked measurement JVMs get their own fixed heap: -Xms=-Xmx+pretouch
+    // keeps GC behavior identical across core counts, and a moderate size
+    // keeps the (untimed) pretouch cheap on this host's slow memory
+    val heap = sys.env.getOrElse("SPARK_GRAFT_FORK_MEM", "12g")
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
@@ -86,14 +89,17 @@ object Bench {
       "q08_text_quality", "q09_token_counts", "q10_langid", "q11_doc_fingerprint",
       "q12_lang_source_stats", "q13_pricing_summary", "q14_top_revenue",
       "q15_sessionize", "q16_json_props", "q17_embedding_topk", "q18_embedding_lsh",
-      "q21_sketch_compare")
+      "q19_tokens_per_source", "q20_tokens_seq_stats", "q21_sketch_compare",
+      "q22_quantiles", "q23_enumerate_index")
     catalog.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val (_, sec) = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      }
-      results += name -> sec
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      // a failed query is recorded as -1 (excluded from the total), not as
+      // its elapsed-until-failure time
+      results += name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // 5. scaling evidence: the same headline job (same input, same FIXED

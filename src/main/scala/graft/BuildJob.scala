@@ -82,8 +82,17 @@ object BuildJob {
       "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
       "sun.security.action", "sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    // GC matters more than anything else for comparable scaling numbers on
+    // this host: G1 young pauses reach 5-23 s on heaps > ~10 GB (slow
+    // memory), which round 1 measured as local[8] *slower* than local[2].
+    // ParallelGC + a fixed pre-touched heap + pretenured large arrays keep
+    // pause time flat across core counts; pretouch happens before the timed
+    // section (BuildJob times only the Spark job itself).
     val cmd = Seq(javaBin) ++ opens ++ Seq(
-      s"-Xmx$heap", "-Dspark.ui.enabled=false",
+      s"-Xms$heap", s"-Xmx$heap",
+      "-XX:+UseParallelGC", "-XX:ParallelGCThreads=8",
+      "-XX:+AlwaysPreTouch", "-XX:PretenureSizeThreshold=1048576",
+      "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.BuildJob", cpus.toString, rows.toString, nBuckets.toString)
     val pb = new ProcessBuilder(cmd: _*)

@@ -15,9 +15,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for sketch-internal / probabilistic
-    * ops (q06 LSH, q07 simhash, q17-q21) -> rows-only check; their exactness
-    * properties are asserted in the scalatest suites instead.
+    * the same parquet tables. Omitted only for genuinely probabilistic /
+    * non-SQL-expressible ops (q06 LSH, q07 simhash, q18 LSH buckets, q21
+    * HLL, q22 t-digest/KLL) -> rows-only check; their exactness properties
+    * are asserted in the scalatest suites instead.
     */
   def oracleSql: Map[String, String] = Queries.oracles
 }

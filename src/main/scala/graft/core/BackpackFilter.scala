@@ -762,15 +762,56 @@ final class BackpackFilter(
     m
   }
 
-  /** Iterator form of [[enumerate]] for explode-style Spark output (buffers
-    * one block's worth of entries at a time is unnecessary at these sizes —
-    * sketches are bounded by 2^qBits).
+  /** Lazy raw enumeration — (fingerprint, storedCount) streamed without
+    * materializing the sketch's contents anywhere: the form the distributed
+    * explode/merge operators flatMap over (a 2^q-entry shard would otherwise
+    * cost ~6x its own size in boxed tuples per task).
     */
-  def entries(): Iterator[(Long, Long)] = {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    foreachRaw((fp, stored) => buf += (fp -> decodeCount(stored)))
-    buf.iterator
+  def rawEntries(): Iterator[(Long, Long)] = new Iterator[(Long, Long)] {
+    private var block = 0L
+    private var occ = if (numBlocks > 0) occWordAt(0) else 0L
+    private var bit = 0
+    private var quot = 0L
+    private var cursor = 0L
+    private var runEnd = 0L
+    private var inRun = false
+    advance()
+
+    private def advance(): Unit = {
+      if (inRun) {
+        if (cursor == runEnd) inRun = false
+        else { cursor = nextSlot(cursor); return }
+      }
+      while (!inRun && block < numBlocks) {
+        if (occ == 0) {
+          block += 1; bit = 0
+          if (block < numBlocks) occ = occWordAt(block)
+        } else if ((occ & 1L) == 0) {
+          occ >>>= 1; bit += 1
+        } else {
+          quot = (block << 6) + bit
+          cursor = runStartOf(quot, occupied = true)
+          runEnd = runEndPos(quot)
+          inRun = true
+          occ >>>= 1; bit += 1
+        }
+      }
+    }
+
+    def hasNext: Boolean = inRun
+    def next(): (Long, Long) = {
+      val sv = slotValue(cursor)
+      val out = (rebuildFingerprint(quot, sv >>> countBits, qBits), sv & countMask)
+      advance()
+      out
+    }
   }
+
+  /** Iterator form of [[enumerate]] for explode-style Spark output:
+    * [[rawEntries]] with counts decoded (exact: identity; oom: 1 << stored).
+    */
+  def entries(): Iterator[(Long, Long)] =
+    rawEntries().map { case (fp, stored) => (fp, decodeCount(stored)) }
 
   /** Grow the table by `n` quotient bits (halving remainder width), keeping
     * every stored (fingerprint, count) exactly. Strategy: enumerate +

@@ -49,12 +49,16 @@ final class BqfQuery(spark: SparkSession, sketchBytes: Array[Byte]) extends Seri
   def filter: BackpackFilter = bc.value.filter
 
   /** Sketch contents as a DataFrame(fingerprint, abundance) — the enumerate
-    * operator exposed relationally (explode-style).
+    * operator exposed relationally (explode-style). The entries stream out
+    * of an executor task via the broadcast (nothing is materialized on the
+    * driver); for a sharded index use [[graft.plans.BqfPipeline.enumerateIndex]],
+    * which parallelizes across shards.
     */
   def enumerateDF(): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val entries = filter.entries().toSeq
-    spark.createDataset(entries).toDF("fingerprint", "abundance")
+    val b = bc
+    spark.range(0, 1, 1, 1).flatMap(_ => b.value.filter.entries())
+      .toDF("fingerprint", "abundance")
   }
 
   def unpersist(): Unit = bc.unpersist()

@@ -60,32 +60,77 @@ object BqfPipeline {
     import spark.implicits._
     val bucketBits = java.lang.Integer.numberOfTrailingZeros(nBuckets)
     val shift = params.hashBits - bucketBits
-    val fps = df.select(explode(fpCol).as("fp"))
+    df.select(explode(fpCol).as("fp"))
       .repartition(nBuckets, expr(s"shiftrightunsigned(fp, $shift)"))
       .select("fp").as[Long]
-    fps.mapPartitions { it =>
-      val tg0 = System.nanoTime()
-      val perBucket = scala.collection.mutable.LongMap.empty[scala.collection.mutable.ArrayBuilder.ofLong]
-      var nrows = 0L
-      it.foreach { fp =>
-        val bucket = fp >>> shift
-        perBucket.getOrElseUpdate(bucket, new scala.collection.mutable.ArrayBuilder.ofLong).addOne(fp)
-        nrows += 1
-      }
-      val tg1 = System.nanoTime()
-      val out = perBucket.iterator.map { case (bucket, builder) =>
-        val entries = builder.result()
-        val ones = new Array[Long](entries.length)
-        java.util.Arrays.fill(ones, 1L)
-        val tb0 = System.nanoTime()
-        val f = graft.core.BackpackFilter.fromEntries(
-          7, params.countBits, params.hashBits, params.mode,
-          params.kTokens, params.zTokens, params.seed, entries, ones, entries.length)
-        System.err.println(f"[instr] bucket=$bucket n=${entries.length} build=${(System.nanoTime - tb0)/1e9}%.2fs gather=${(tg1-tg0)/1e9}%.2fs rows=$nrows")
-        (bucket, f.serialize())
-      }
-      out
-    }.toDF("bucket", "sketch")
+      .mapPartitions(it => buildBucketSketches(it.map(fp => (fp, 1L)), shift, params))
+      .toDF("bucket", "sketch")
+  }
+
+  /** Gather a partition's raw (fingerprint, storedCount) stream into its
+    * fingerprint-range buckets and bulk-build one canonical sketch per
+    * bucket (a partition can hold several buckets: hash partitioning of the
+    * bucket id does not map buckets to partitions 1:1). Shared by the
+    * from-scratch index build (stored count 1 per occurrence) and the
+    * distributed re-shard merge (stored counts from existing shards;
+    * fromEntries folds duplicates mode-aware).
+    */
+  private def buildBucketSketches(it: Iterator[(Long, Long)], shift: Int,
+                                  params: BqfParams): Iterator[(Long, Array[Byte])] = {
+    val perBucket = scala.collection.mutable.LongMap
+      .empty[(scala.collection.mutable.ArrayBuilder.ofLong, scala.collection.mutable.ArrayBuilder.ofLong)]
+    it.foreach { case (fp, stored) =>
+      val b = perBucket.getOrElseUpdate(fp >>> shift,
+        (new scala.collection.mutable.ArrayBuilder.ofLong, new scala.collection.mutable.ArrayBuilder.ofLong))
+      b._1.addOne(fp)
+      b._2.addOne(stored)
+    }
+    perBucket.iterator.map { case (bucket, (fb, sb)) =>
+      val fps = fb.result()
+      val stored = sb.result()
+      val f = graft.core.BackpackFilter.fromEntries(
+        7, params.countBits, params.hashBits, params.mode,
+        params.kTokens, params.zTokens, params.seed, fps, stored, fps.length)
+      (bucket, f.serialize())
+    }
+  }
+
+  /** Distributed merge / re-shard: enumerate every shard sketch in parallel
+    * (lazy raw iteration — no shard is materialized as an entry array on a
+    * single node), shuffle the raw (fingerprint, storedCount) pairs to
+    * `nOut` fingerprint-range buckets, and bulk-rebuild one sketch per
+    * output bucket. This is the scale form of the final merge level: where
+    * [[treeMerge]] ends in one serial reducer producing a driver blob,
+    * reshardMerge's last level is `nOut` independent O(n) sorted builds, so
+    * merge wall time scales with cores. Output bucket b of nOut is exactly
+    * the merge of input shards covering that fingerprint range (high-bit
+    * prefix nesting), regardless of how the inputs were sharded.
+    */
+  def reshardMerge(shards: DataFrame, params: BqfParams, nOut: Int): DataFrame = {
+    require(nOut >= 1 && (nOut & (nOut - 1)) == 0, "nOut must be a power of 2")
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nOut)
+    shards.select("sketch").as[Array[Byte]]
+      .flatMap(b => graft.core.BackpackFilter.deserialize(b).rawEntries())
+      .toDF("fp", "stored")
+      .repartition(nOut, expr(s"shiftrightunsigned(fp, $shift)"))
+      .as[(Long, Long)]
+      .mapPartitions(it => buildBucketSketches(it, shift, params))
+      .toDF("bucket", "sketch")
+  }
+
+  /** The enumerate operator exposed relationally at scale: explode every
+    * (bucket, sketch) shard row into its (fingerprint, abundance) entries,
+    * streaming — nothing is materialized on the driver (ref enumerate,
+    * /root/reference/src/rsqf.cpp:380-415, as a distributed flatMap).
+    */
+  def enumerateIndex(shards: DataFrame): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards.select("sketch").as[Array[Byte]]
+      .flatMap(b => graft.core.BackpackFilter.deserialize(b).entries())
+      .toDF("fingerprint", "abundance")
   }
 
   /** Fold (bucket, sketch) rows into one sketch through a merge tree with
