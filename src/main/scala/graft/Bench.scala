@@ -102,25 +102,48 @@ object Bench {
       results += name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    // 5. scaling evidence: the same headline job (same input, same FIXED
-    // shard count) at several core counts, min-of-trials, each measurement
-    // in its own fresh JVM. Reported as a curve with pairwise N->4N-style
-    // efficiencies — this microVM saturates memory bandwidth beyond ~16
-    // threads, so the full curve is the honest artifact (BENCH/BASELINE.md).
+    // 5. scaling evidence (north rule: N -> 4N at >= 0.8). Two series, both
+    // min-of-trials with trials INTERLEAVED across levels (this host's
+    // timing varies ~2x between identical runs — interleaving samples every
+    // level across the same noise windows), each measurement a fresh
+    // GC-pinned JVM:
+    //   (a) core: the reduce-side kernel (independent shard builds:
+    //       generate -> radix sort -> canonical construction) with plain
+    //       threads — the library's own scaling, no Spark machinery. This
+    //       is the per-executor picture on a real cluster, where each
+    //       executor brings its own memory/GC/shuffle service.
+    //   (b) end-to-end: the full Spark job (same input, same FIXED 128
+    //       shards) at 1/4/16 local cores. Levels stop at 16: nproc=32 is
+    //       SMT on ~16 cores and the time-shared microVM sustains ~8-10 —
+    //       beyond that a thread curve measures the host, not the library
+    //       (bandwidth + core-kernel probes in BENCH/BASELINE.md).
     var scalingJson = ""
     if (doScaling) {
-      val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", s"2,8,$cpus")
+      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1000000").toLong
+      val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "1,4,16")
         .split(",").map(_.trim.toInt).distinct.sorted
-      val secs = levels.map { c =>
-        val sec = if (c == cpus) buildSec
-                  else (1 to trials).map(_ => BuildJob.forked(c, benchRows, nBuckets, heap)._1).min
-        c -> sec
-      }
-      val levelsJson = secs.map { case (c, t) => "\"" + c + "\":" + t }.mkString("{", ",", "}")
-      val pairsJson = secs.sliding(2).collect { case Array((c1, t1), (c2, t2)) =>
-        "\"" + c1 + "->" + c2 + "\":" + ((t1 / t2) / (c2.toDouble / c1))
+      val coreTrials = sys.env.getOrElse("SPARK_GRAFT_CORE_TRIALS", "3").toInt
+
+      def minPerLevel(run: Int => Double, nTrials: Int): Map[Int, Double] =
+        (1 to nTrials).flatMap(_ => levels.map(c => c -> run(c)))
+          .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+
+      val core = minPerLevel(c => graft.core.CoreScale.forked(c, 128, 1200000, heap), coreTrials)
+      val e2eRuns = (1 to trials).flatMap(_ =>
+        levels.map(c => c -> BuildJob.forked(c, scaleRows, nBuckets, heap)))
+      val e2e = e2eRuns.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2._1).min }
+      val scaleKgrams = e2eRuns.head._2._2
+
+      def lvlJson(m: Map[Int, Double]) =
+        levels.map(c => "\"" + c + "\":" + m(c)).mkString("{", ",", "}")
+      def effJson(m: Map[Int, Double]) = levels.sliding(2).collect { case Array(c1, c2) =>
+        "\"" + c1 + "->" + c2 + "\":" + ((m(c1) / m(c2)) / (c2.toDouble / c1))
       }.mkString("{", ",", "}")
-      scalingJson = s""","scaling":{"levels":$levelsJson,"efficiency":$pairsJson}"""
+      val tputJson = levels.map(c => "\"" + c + "\":" + (scaleKgrams / e2e(c)).toLong)
+        .mkString("{", ",", "}")
+      scalingJson = s""","scaling":{"rows":$scaleRows,"levels":${lvlJson(e2e)},""" +
+        s""""kgrams_per_sec":$tputJson,"efficiency":${effJson(e2e)},""" +
+        s""""core_levels":${lvlJson(core)},"core_efficiency":${effJson(core)}}"""
     }
 
     val total = results.values.filter(_ >= 0).sum

@@ -55,6 +55,14 @@ object BuildJob {
           .reduce(_ + _)
         println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"consume"}""")
         spark.stop(); return
+      case "merge" => // time the DISTRIBUTED merge only: 128 shards -> 16
+        val shards = graft.plans.BqfPipeline.buildIndexSorted(df, fps, params, nBuckets)
+        shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count() // build untimed
+        val tm0 = System.nanoTime()
+        val merged = graft.plans.BqfPipeline.reshardMerge(shards, params, math.max(1, nBuckets / 8))
+        val row = merged.agg(count(lit(1)).as("shards"), sum(octet_length(col("sketch"))).as("bytes")).head()
+        println(s"""{"sec":${(System.nanoTime() - tm0) / 1e9},"kgrams":$kgrams,"shards":${row.getLong(0)},"sketch_bytes":${row.getLong(1)},"cpus":$cpus,"mode":"merge"}""")
+        spark.stop(); return
       case _ => ()
     }
     val shards = mode match {

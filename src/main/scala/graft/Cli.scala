@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions._
 /** Spark-native analogue of the reference CLI's three verbs
   * (/root/reference/src/main.cpp:10-15):
   *
-  *   build  -i <tokens parquet> -o <sketch file> [-q Q -c C -k K -z Z]
-  *   query  -b <sketch file> -i <tokens parquet> -o <results parquet>
-  *   filter -i <tokens parquet> -o <out parquet> [-k K]
+  *   build     -i <tokens parquet> -o <sketch file> [-q Q -c C -k K -z Z]
+  *   query     -b <sketch file> -i <tokens parquet> -o <results parquet>
+  *   filter    -i <tokens parquet> -o <out path> [-k K] [-f parquet|text]
+  *   enumerate -b <sketch file> -o <out parquet>
   *
   * `build` folds every s-gram fingerprint of the input's `tokens` column
   * into a distributed BQF and persists it; `query` loads + broadcasts the
   * sketch and writes per-row Fimpera statistics; `filter` emits each k-gram
-  * fingerprint seen at least twice (the counting-filter verb).
+  * fingerprint seen at least twice (the counting-filter verb; `-f text`
+  * mirrors the reference's text sink next to the default parquet one,
+  * /root/reference/src/bqf_cf.hpp:6-8 — the streaming emit mode lives in
+  * [[graft.streaming.StreamingOps]]); `enumerate` streams the sketch's
+  * (fingerprint, abundance) entries out relationally.
   */
 object Cli {
   private def parseArgs(args: Array[String]): Map[String, String] =
@@ -25,7 +30,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Cli build|query|filter -i IN [-b SKETCH] [-o OUT] [-q Q -c C -k K -z Z]")
+      System.err.println("usage: graft.Cli build|query|filter|enumerate -i IN [-b SKETCH] [-o OUT] [-q Q -c C -k K -z Z] [-f parquet|text]")
       sys.exit(2)
     }
     val verb = args.head
@@ -72,10 +77,21 @@ object Cli {
 
       case "filter" =>
         val df = spark.read.parquet(opts("-i"))
-        df.select(explode(sgram_fingerprints(col("tokens"), params.kTokens, params.hashBits, params.seed)).as("kgram_fp"))
+        val hits = df
+          .select(explode(sgram_fingerprints(col("tokens"), params.kTokens, params.hashBits, params.seed)).as("kgram_fp"))
           .groupBy("kgram_fp").count()
           .filter(col("count") >= 2)
-          .write.mode("overwrite").parquet(opts("-o"))
+        opts.getOrElse("-f", "parquet") match {
+          case "text" => // set semantics are order-insensitive, like the reference's E2E check
+            hits.select(format_string("%d\t%d", col("kgram_fp"), col("count")))
+              .write.mode("overwrite").text(opts("-o"))
+          case _ =>
+            hits.write.mode("overwrite").parquet(opts("-o"))
+        }
+
+      case "enumerate" =>
+        val q = new BqfQuery(spark, BackpackFilter.loadFromFile(opts("-b")).serialize())
+        q.enumerateDF().write.mode("overwrite").parquet(opts("-o"))
 
       case other =>
         System.err.println(s"unknown verb: $other")

@@ -116,7 +116,12 @@ object Queries {
     * count^2 pairs), which is what makes this plan survive scale-up.
     */
   def q05NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir, 12).distinct().withColumnRenamed("shingle", "s")
+    // shingle identity collapses to its 64-bit hash immediately after the
+    // explode: every downstream distinct/count/join moves 8-byte longs, not
+    // 12-char strings (collision odds ~n^2/2^65 — immaterial up to ~10^8
+    // distinct shingles; the pair set is unchanged)
+    val sh = shingles(spark, dir, 12)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("s")).distinct()
     // broadcast the SMALL side: in long-tail text nearly every shingle is
     // rare, so the broadcastable set is the hot one (count > 20) and the
     // rare-only restriction becomes a broadcast anti-join (round 1
@@ -220,11 +225,15 @@ object Queries {
         round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").as("sum_base_price"),
         count(lit(1)).as("count_order"))
 
-  /** Broadcast join + top-k: highest-revenue orders. */
+  /** Join + top-k: highest-revenue orders. No broadcast hint: orders is a
+    * fact table (1:4 with lineitem), not a dimension — at 100x scale
+    * broadcasting it would OOM, and AQE already picks broadcast locally
+    * when the build side is small enough.
+    */
   def q14TopRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val o = spark.read.parquet(s"$dir/orders.parquet")
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderkey", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)

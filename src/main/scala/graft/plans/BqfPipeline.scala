@@ -60,51 +60,90 @@ object BqfPipeline {
     import spark.implicits._
     val bucketBits = java.lang.Integer.numberOfTrailingZeros(nBuckets)
     val shift = params.hashBits - bucketBits
-    df.select(explode(fpCol).as("fp"))
-      .repartition(nBuckets, expr(s"shiftrightunsigned(fp, $shift)"))
-      .select("fp").as[Long]
-      .mapPartitions(it => buildBucketSketches(it.map(fp => (fp, 1L)), shift, params))
+    // Map-side bucketing into ARRAY CHUNKS: a profile of this job at 155M
+    // k-grams showed fingerprint extraction itself costs ~2 s at 8 cores
+    // while shuffling the fingerprints as individual rows cost ~21 s and
+    // re-reading them through the typed row boundary another ~13 s — the
+    // row machinery, not the bytes, dominates. So each input task groups
+    // its fingerprints by destination bucket and emits one (bucket, chunk)
+    // array row per bucket (~tasks x buckets rows total instead of one row
+    // per k-gram); array encode/decode is a memcpy. Same shuffle BYTES,
+    // ~10^4x fewer shuffle ROWS.
+    df.select(fpCol.as("fps")).as[Array[Long]]
+      .mapPartitions { docs =>
+        val builders = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nBuckets)
+        docs.foreach { fps =>
+          var i = 0
+          while (i < fps.length) {
+            val fp = fps(i)
+            val b = (fp >>> shift).toInt
+            var bb = builders(b)
+            if (bb == null) { bb = new scala.collection.mutable.ArrayBuilder.ofLong; builders(b) = bb }
+            bb.addOne(fp)
+            i += 1
+          }
+        }
+        Iterator.range(0, nBuckets).flatMap { b =>
+          val bb = builders(b)
+          if (bb == null) Iterator.empty
+          else { builders(b) = null; Iterator.single((b.toLong, bb.result())) }
+        }
+      }
+      .toDF("bucket", "chunk")
+      .repartition(nBuckets, col("bucket"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        gatherChunks(it.map { case (b, c) => (b, c, null) }).map { case (bucket, fps, _) =>
+          val ones = new Array[Long](fps.length)
+          java.util.Arrays.fill(ones, 1L)
+          (bucket, buildShard(fps, ones, params))
+        }
+      }
       .toDF("bucket", "sketch")
   }
 
-  /** Gather a partition's raw (fingerprint, storedCount) stream into its
-    * fingerprint-range buckets and bulk-build one canonical sketch per
-    * bucket (a partition can hold several buckets: hash partitioning of the
-    * bucket id does not map buckets to partitions 1:1). Shared by the
-    * from-scratch index build (stored count 1 per occurrence) and the
-    * distributed re-shard merge (stored counts from existing shards;
-    * fromEntries folds duplicates mode-aware).
+  /** Concatenate per-bucket chunk rows ((bucket, fps, stored?) with stored
+    * possibly null for the all-ones build) into one contiguous pair of
+    * arrays per bucket — plain arraycopies, no per-entry work.
     */
-  private def buildBucketSketches(it: Iterator[(Long, Long)], shift: Int,
-                                  params: BqfParams): Iterator[(Long, Array[Byte])] = {
-    val perBucket = scala.collection.mutable.LongMap
-      .empty[(scala.collection.mutable.ArrayBuilder.ofLong, scala.collection.mutable.ArrayBuilder.ofLong)]
-    it.foreach { case (fp, stored) =>
-      val b = perBucket.getOrElseUpdate(fp >>> shift,
-        (new scala.collection.mutable.ArrayBuilder.ofLong, new scala.collection.mutable.ArrayBuilder.ofLong))
-      b._1.addOne(fp)
-      b._2.addOne(stored)
+  private def gatherChunks(it: Iterator[(Long, Array[Long], Array[Long])])
+      : Iterator[(Long, Array[Long], Array[Long])] = {
+    val chunks = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[(Array[Long], Array[Long])]]
+    it.foreach { case (b, fps, stored) =>
+      chunks.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += ((fps, stored))
     }
-    perBucket.iterator.map { case (bucket, (fb, sb)) =>
-      val fps = fb.result()
-      val stored = sb.result()
-      val f = graft.core.BackpackFilter.fromEntries(
-        7, params.countBits, params.hashBits, params.mode,
-        params.kTokens, params.zTokens, params.seed, fps, stored, fps.length)
-      (bucket, f.serialize())
+    chunks.iterator.map { case (bucket, parts) =>
+      val n = parts.iterator.map(_._1.length).sum
+      val fps = new Array[Long](n)
+      val stored = if (parts.head._2 == null) null else new Array[Long](n)
+      var off = 0
+      parts.foreach { case (f, s) =>
+        System.arraycopy(f, 0, fps, off, f.length)
+        if (stored != null) System.arraycopy(s, 0, stored, off, s.length)
+        off += f.length
+      }
+      (bucket, fps, stored)
     }
   }
+
+  private def buildShard(fps: Array[Long], stored: Array[Long], params: BqfParams): Array[Byte] =
+    graft.core.BackpackFilter.fromEntries(
+      7, params.countBits, params.hashBits, params.mode,
+      params.kTokens, params.zTokens, params.seed, fps, stored, fps.length).serialize()
 
   /** Distributed merge / re-shard: enumerate every shard sketch in parallel
     * (lazy raw iteration — no shard is materialized as an entry array on a
     * single node), shuffle the raw (fingerprint, storedCount) pairs to
-    * `nOut` fingerprint-range buckets, and bulk-rebuild one sketch per
-    * output bucket. This is the scale form of the final merge level: where
-    * [[treeMerge]] ends in one serial reducer producing a driver blob,
-    * reshardMerge's last level is `nOut` independent O(n) sorted builds, so
-    * merge wall time scales with cores. Output bucket b of nOut is exactly
-    * the merge of input shards covering that fingerprint range (high-bit
-    * prefix nesting), regardless of how the inputs were sharded.
+    * `nOut` fingerprint-range buckets as paired ARRAY CHUNKS (same
+    * rows-are-the-cost lesson as [[buildIndexSorted]]), and bulk-rebuild one
+    * sketch per output bucket. This is the scale form of the final merge
+    * level: where [[treeMerge]] ends in one serial reducer producing a
+    * driver blob, reshardMerge's last level is `nOut` independent O(n)
+    * sorted builds, so merge wall time scales with cores. Output bucket b
+    * of nOut is exactly the merge of input shards covering that fingerprint
+    * range (high-bit prefix nesting), regardless of how the inputs were
+    * sharded.
     */
   def reshardMerge(shards: DataFrame, params: BqfParams, nOut: Int): DataFrame = {
     require(nOut >= 1 && (nOut & (nOut - 1)) == 0, "nOut must be a power of 2")
@@ -112,11 +151,35 @@ object BqfPipeline {
     import spark.implicits._
     val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nOut)
     shards.select("sketch").as[Array[Byte]]
-      .flatMap(b => graft.core.BackpackFilter.deserialize(b).rawEntries())
-      .toDF("fp", "stored")
-      .repartition(nOut, expr(s"shiftrightunsigned(fp, $shift)"))
-      .as[(Long, Long)]
-      .mapPartitions(it => buildBucketSketches(it, shift, params))
+      .mapPartitions { sketches =>
+        val fb = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nOut)
+        val sb = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nOut)
+        sketches.foreach { bytes =>
+          graft.core.BackpackFilter.deserialize(bytes).rawEntries().foreach { case (fp, stored) =>
+            val b = (fp >>> shift).toInt
+            if (fb(b) == null) {
+              fb(b) = new scala.collection.mutable.ArrayBuilder.ofLong
+              sb(b) = new scala.collection.mutable.ArrayBuilder.ofLong
+            }
+            fb(b).addOne(fp)
+            sb(b).addOne(stored)
+          }
+        }
+        Iterator.range(0, nOut).flatMap { b =>
+          if (fb(b) == null) Iterator.empty
+          else {
+            val out = (b.toLong, fb(b).result(), sb(b).result())
+            fb(b) = null; sb(b) = null
+            Iterator.single(out)
+          }
+        }
+      }
+      .toDF("bucket", "fps", "stored")
+      .repartition(nOut, col("bucket"))
+      .as[(Long, Array[Long], Array[Long])]
+      .mapPartitions(it => gatherChunks(it).map { case (bucket, fps, stored) =>
+        (bucket, buildShard(fps, stored, params))
+      })
       .toDF("bucket", "sketch")
   }
 
