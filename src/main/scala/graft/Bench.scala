@@ -70,14 +70,14 @@ object Bench {
     val bq = new BqfQuery(spark, sketchBytes)
     val (nProbes, probeSec) = time {
       val n = queryDf.select(explode(qfps).as("fp"))
-        .select(bq.abundanceUdf(col("fp")).as("a")).filter(col("a") > 0).count()
+        .select(bq.abundanceOf(col("fp")).as("a")).filter(col("a") > 0).count()
       n
     }
     results += "point_queries" -> probeSec
 
     // 3. Fimpera sequence-stats throughput
     val (_, seqSec) = time {
-      queryDf.select(bq.sequenceStatsUdf(col("tokens")).as("st"))
+      queryDf.select(bq.sequenceStatsOf(col("tokens")).as("st"))
         .filter(col("st.presenceRatio") > 0).count()
     }
     results += "sequence_stats" -> seqSec

@@ -68,7 +68,7 @@ object Cli {
         val sketch = BackpackFilter.loadFromFile(opts("-b"))
         val q = new BqfQuery(spark, sketch.serialize())
         spark.read.parquet(opts("-i"))
-          .withColumn("st", q.sequenceStatsUdf(col("tokens")))
+          .withColumn("st", q.sequenceStatsOf(col("tokens")))
           .select(col("doc_id"), col("st.minimum").as("minimum"),
             col("st.maximum").as("maximum"), col("st.average").as("average"),
             col("st.presenceRatio").as("presence_ratio"))

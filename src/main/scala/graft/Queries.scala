@@ -70,7 +70,7 @@ object Queries {
   def q01BqfAbundance(spark: SparkSession, dir: String): DataFrame = {
     val q = buildTextSketch(spark, dir)
     shingles(spark, dir, ShingleN).select("shingle").distinct()
-      .withColumn("abund", q.abundanceUdf(fpOfShingle(col("shingle"))))
+      .withColumn("abund", q.abundanceOf(fpOfShingle(col("shingle"))))
       .select("shingle", "abund")
   }
 
@@ -88,7 +88,7 @@ object Queries {
     val absent = spark.range(0, 1000)
       .select(format_string("zzq%05d", col("id")).as("probe"))
     present.unionAll(absent)
-      .withColumn("present", q.containsUdf(fpOfShingle(col("probe"))))
+      .withColumn("present", q.containsOf(fpOfShingle(col("probe"))))
       .select("probe", "present")
   }
 
@@ -370,7 +370,7 @@ object Queries {
     val df = TokensTable.dataframe(spark, nRows)
     val fps = sgram_fingerprints(col("tokens"), TokParams.sTokens, TokParams.hashBits, TokParams.seed)
     val q = new BqfQuery(spark, BqfPipeline.buildGlobal(df, fps, TokParams))
-    df.withColumn("st", q.sequenceStatsUdf(col("tokens")))
+    df.withColumn("st", q.sequenceStatsOf(col("tokens")))
       .select(col("doc_id"), col("st.minimum").as("min_abund"),
         col("st.maximum").as("max_abund"), col("st.presenceRatio").as("presence"))
   }

@@ -14,11 +14,29 @@ final class SketchRef(val bytes: Array[Byte]) extends Serializable {
   @transient lazy val filter: BackpackFilter = BackpackFilter.deserialize(bytes)
 }
 
-/** Broadcast-sketch query surface: scalar UDFs answering membership,
-  * abundance and Fimpera sequence statistics against a completed build.
+/** Broadcast-sketch query surface: membership, abundance and Fimpera
+  * sequence statistics against a completed build. The Column forms
+  * ([[abundanceOf]]/[[containsOf]]/[[sequenceStatsOf]]) are native Catalyst
+  * expressions — abundance/membership stay inside whole-stage codegen; the
+  * UDF forms remain for users composing with udf-style APIs.
   */
 final class BqfQuery(spark: SparkSession, sketchBytes: Array[Byte]) extends Serializable {
   private val bc = spark.sparkContext.broadcast(new SketchRef(sketchBytes))
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Abundance of a fingerprint column (codegen expression). */
+  def abundanceOf(fp: Column): Column =
+    ColumnBridge.column(BqfAbundanceExpr(ColumnBridge.expression(fp), bc))
+
+  /** Membership of a fingerprint column (codegen expression). */
+  def containsOf(fp: Column): Column =
+    ColumnBridge.column(BqfContainsExpr(ColumnBridge.expression(fp), bc))
+
+  /** Fimpera sequence stats of a tokens array column (struct-typed). */
+  def sequenceStatsOf(tokens: Column): Column =
+    ColumnBridge.column(BqfSequenceStatsExpr(ColumnBridge.expression(tokens), bc))
 
   /** Abundance of a single fingerprint (LongType -> LongType). */
   def abundanceUdf: UserDefinedFunction = {
