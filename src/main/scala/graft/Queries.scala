@@ -127,15 +127,19 @@ object Queries {
     // rare-only restriction becomes a broadcast anti-join (round 1
     // broadcast the rare set itself — guaranteed OOM at scale)
     val hot = sh.groupBy("s").count().filter(col("count") > 20).select("s")
+    // per-doc shingle counts ride along as a window column instead of a
+    // separate `sizes` aggregate joined back twice; the rare-shingle set is
+    // then materialized ONCE (localCheckpoint -> executor-local
+    // MEMORY_AND_DISK blocks, GC-cleaned) so the self-join's two sides read
+    // blocks instead of re-exploding and re-deduplicating the corpus — the
+    // standard multi-pass move, same at 1000 executors
     val rs = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    val sizes = rs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = rs.as("a").join(rs.as("b"),
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .localCheckpoint()
+    rs.as("a").join(rs.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= 0.3)
       .select("a_id", "b_id", "jac")
