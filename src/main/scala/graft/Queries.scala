@@ -346,6 +346,49 @@ object Queries {
       TokensTable.dataframe(spark, nRows).write.mode("overwrite").parquet(path)
   }
 
+  /** IVF-style approximate nearest neighbors — the third point on the ANN
+    * scale path (q17 exact brute force, q18 LSH buckets, q24 IVF cells):
+    * a deterministic coarse quantizer (unit-normalized centroids = the
+    * first 16 vectors) assigns every vector to its best cell; probes search
+    * only their top-2 cells. At scale the assignment is a narrow map (16
+    * fused dot products per row) and the index would be WRITTEN partitioned
+    * by cell, so a probe's candidate scan is partition-pruned to
+    * nprobe/k of the data; here the probe side (20 x 2 cells) broadcasts.
+    * Fully deterministic, so the DuckDB oracle replays it exactly.
+    */
+  def q24EmbeddingIvf(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val nprobe = 2
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // unit centroids, driver-side (k tiny and deterministic: vec_id < k)
+    val cents: Array[Seq[Double]] = emb.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble)
+        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        v.map(_ / nrm)
+      }
+    val dot = (h: Seq[Double]) => aggregate(
+      zip_with(col("embedding"), typedLit(h), (x, hv) => x.cast("double") * hv),
+      lit(0.0), (acc, v) => acc + v)
+    // struct(sim, cid) sorts/maxes lexicographically -> argmax with cid tiebreak
+    val cellStructs = array((0 until k).map(i => struct(dot(cents(i)).as("sim"), lit(i).as("cid"))): _*)
+    val norm = "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    val base = emb.select(col("vec_id"), col("embedding"), expr(norm).as("nrm"), cellStructs.as("cs"))
+    val assigned = base.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"),
+      array_max(col("cs")).getField("cid").as("cell"))
+    val probes = base.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"),
+        explode(expr(s"transform(slice(sort_array(cs, false), 1, $nprobe), x -> x.cid)")).as("cell"))
+    val pairDot = "aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    broadcast(probes).join(assigned, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", expr(pairDot) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "nid")
+  }
+
   /** Tokens-table flagship: per-source BQF sketches over the synthetic
     * Iceberg-shaped table (validated rows), reporting per-source distinct
     * s-gram counts from the sketch. Oracle: COUNT(DISTINCT 6-token window)
@@ -458,6 +501,7 @@ object Queries {
     "q21_sketch_compare" -> (q21SketchCompare _),
     "q22_quantiles" -> (q22Quantiles _),
     "q23_enumerate_index" -> (q23EnumerateIndex _),
+    "q24_embedding_ivf" -> (q24EmbeddingIvf _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -584,6 +628,29 @@ object Queries {
     "q23_enumerate_index" ->
       s"""SELECT abund, count(*) AS n_fps FROM (
          |  SELECT count(*) AS abund FROM ($sh8) GROUP BY shingle) GROUP BY abund""".stripMargin,
+    // IVF replay: same unit centroids (vec_id < 16), same sequential double
+    // sums, same argmax/probe tie-breaks (sim DESC, cid DESC), same final
+    // rank tie-break (sim DESC, nid ASC)
+    "q24_embedding_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM read_parquet('$EmbOracleParquet')),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |c AS (SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cv FROM n WHERE vec_id < 16),
+         |sims AS (SELECT n.vec_id, c.cid,
+         |           list_sum(list_transform(list_zip(n.v, c.cv), t -> t[1] * t[2])) AS sim
+         |         FROM n, c),
+         |ranked AS (SELECT vec_id, cid,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rk
+         |           FROM sims),
+         |assign AS (SELECT vec_id AS nid, cid AS cell FROM ranked WHERE rk = 1),
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked WHERE rk <= 2 AND vec_id < 20),
+         |cand AS (SELECT p.qid, a.nid FROM probes p JOIN assign a USING (cell) WHERE a.nid != p.qid),
+         |scored AS (SELECT qid, nid,
+         |             list_sum(list_transform(list_zip(q.v, t.v), z -> z[1] * z[2])) / (q.nrm * t.nrm) AS sim
+         |           FROM cand JOIN n q ON q.vec_id = qid JOIN n t ON t.vec_id = nid)
+         |SELECT qid, rank, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin,
   )
 
   /** Absolute paths the driver's DuckDB oracle reads directly (it creates
