@@ -27,6 +27,10 @@ object BuildJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val params = BqfParams(qBits = 16, countBits = 8, hashBits = 48, kTokens = 8, zTokens = 2)
+    // per-stage metrics (north rule): one JSON line per completed stage on
+    // stderr; stdout stays a single result line for the bench parser
+    val stageMetrics = graft.plans.StageMetrics.attach(spark)
+    def emitStages(): Unit = stageMetrics.jsonLines.foreach(l => System.err.println(s"[stage] $l"))
     val df = TokensTable.dataframe(spark, rows.toLong, partitions = cpus)
     val fps = sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)
     val kgrams = df.select(sum(greatest(col("n_tok") - (params.sTokens - 1), lit(0)))).head().getLong(0)
@@ -37,14 +41,14 @@ object BuildJob {
       case "fps" => // decompose: fingerprint generation only
         val n = df.select(explode(fps).as("fp")).count()
         println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"fps"}""")
-        spark.stop(); return
+        emitStages(); spark.stop(); return
       case "shuffle" => // decompose: fingerprints + shuffle, no build
         val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
         val n = df.select(explode(fps).as("fp"))
           .repartition(nBuckets, expr(s"shiftrightunsigned(fp, $shift)"))
           .count()
         println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"shuffle"}""")
-        spark.stop(); return
+        emitStages(); spark.stop(); return
       case "consume" => // decompose: shuffle + typed iterator consumption
         import spark.implicits._
         val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
@@ -54,7 +58,7 @@ object BuildJob {
           .mapPartitions { it => var s = 0L; var c = 0L; it.foreach { v => s += v; c += 1 }; Iterator.single(c) }
           .reduce(_ + _)
         println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"consume"}""")
-        spark.stop(); return
+        emitStages(); spark.stop(); return
       case "merge" => // time the DISTRIBUTED merge only: 128 shards -> 16
         val shards = graft.plans.BqfPipeline.buildIndexSorted(df, fps, params, nBuckets)
         shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count() // build untimed
@@ -62,7 +66,7 @@ object BuildJob {
         val merged = graft.plans.BqfPipeline.reshardMerge(shards, params, math.max(1, nBuckets / 8))
         val row = merged.agg(count(lit(1)).as("shards"), sum(octet_length(col("sketch"))).as("bytes")).head()
         println(s"""{"sec":${(System.nanoTime() - tm0) / 1e9},"kgrams":$kgrams,"shards":${row.getLong(0)},"sketch_bytes":${row.getLong(1)},"cpus":$cpus,"mode":"merge"}""")
-        spark.stop(); return
+        emitStages(); spark.stop(); return
       case _ => ()
     }
     val shards = mode match {
@@ -79,6 +83,7 @@ object BuildJob {
       .head()
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"sec":$sec,"kgrams":$kgrams,"shards":${row.getLong(0)},"sketch_bytes":${row.getLong(1)},"cpus":$cpus,"mode":"$mode"}""")
+    emitStages()
     spark.stop()
   }
 
