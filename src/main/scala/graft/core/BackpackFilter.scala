@@ -725,8 +725,11 @@ final class BackpackFilter(
 
   /** Visit every (fingerprint, storedCount) pair — the raw enumeration the
     * merge and resize paths build on (/root/reference/src/abstract_bqf.cpp:264-300).
+    * Public visitor form: `(Long, Long) => Unit` is @specialized, so bulk
+    * consumers (the distributed re-shard merge) pay zero boxing per entry —
+    * unlike the tuple iterator [[rawEntries]].
     */
-  private def foreachRaw(f: (Long, Long) => Unit): Unit = {
+  def foreachRaw(f: (Long, Long) => Unit): Unit = {
     var block = 0L
     while (block < numBlocks) {
       var occ = occWordAt(block)

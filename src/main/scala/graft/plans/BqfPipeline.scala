@@ -155,7 +155,8 @@ object BqfPipeline {
         val fb = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nOut)
         val sb = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nOut)
         sketches.foreach { bytes =>
-          graft.core.BackpackFilter.deserialize(bytes).rawEntries().foreach { case (fp, stored) =>
+          // specialized visitor: zero boxing across the 10^8-entry stream
+          graft.core.BackpackFilter.deserialize(bytes).foreachRaw { (fp, stored) =>
             val b = (fp >>> shift).toInt
             if (fb(b) == null) {
               fb(b) = new scala.collection.mutable.ArrayBuilder.ofLong
