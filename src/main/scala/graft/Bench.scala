@@ -119,17 +119,20 @@ object Bench {
     //       (bandwidth + core-kernel probes in BENCH/BASELINE.md).
     var scalingJson = ""
     if (doScaling) {
-      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1000000").toLong
+      // 600k docs (~93M k-grams) keeps each level compute-dominated while
+      // holding the whole series under ~5 min in typical host windows
+      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "600000").toLong
       val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "1,4,16")
         .split(",").map(_.trim.toInt).distinct.sorted
-      val coreTrials = sys.env.getOrElse("SPARK_GRAFT_CORE_TRIALS", "3").toInt
+      val coreTrials = sys.env.getOrElse("SPARK_GRAFT_CORE_TRIALS", "2").toInt
+      val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "3").toInt
 
       def minPerLevel(run: Int => Double, nTrials: Int): Map[Int, Double] =
         (1 to nTrials).flatMap(_ => levels.map(c => c -> run(c)))
           .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
 
       val core = minPerLevel(c => graft.core.CoreScale.forked(c, 128, 1200000, heap), coreTrials)
-      val e2eRuns = (1 to trials).flatMap(_ =>
+      val e2eRuns = (1 to scaleTrials).flatMap(_ =>
         levels.map(c => c -> BuildJob.forked(c, scaleRows, nBuckets, heap)))
       val e2e = e2eRuns.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2._1).min }
       val scaleKgrams = e2eRuns.head._2._2
