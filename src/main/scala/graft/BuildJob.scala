@@ -24,6 +24,12 @@ object BuildJob {
       .config("spark.ui.enabled", "false")
       .config("spark.kryoserializer.buffer.max", "512m")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // xxhash64 fingerprints are high-entropy by construction: LZ4 on the
+      // shuffle saved 11% bytes but cost ~20 s/core per 93M k-grams
+      // (measured via StageMetrics) — 2.4x the map stage. Off for THIS job;
+      // text-shuffling queries keep the default.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val params = BqfParams(qBits = 16, countBits = 8, hashBits = 48, kTokens = 8, zTokens = 2)
