@@ -15,9 +15,7 @@ run / fork := true
 // parses graft.Bench's single JSON line, and sbt's default LoggedOutput
 // prefixes every forked line with "[info] ", which breaks the parse.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
