@@ -24,7 +24,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.kryoserializer.buffer.max", "512m")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // no spark.driver.memory here: in an already-running local-mode JVM it
+      // is inert (the heap is build.sbt's clamped -Xmx), and echoing a 90g
+      // request into the conf only misleads readers of the Spark UI/logs
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -44,8 +46,19 @@ object Bench {
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "128").toInt
     // forked measurement JVMs get their own fixed heap: -Xms=-Xmx+pretouch
     // keeps GC behavior identical across core counts, and a moderate size
-    // keeps the (untimed) pretouch cheap on this host's slow memory
-    val heap = sys.env.getOrElse("SPARK_GRAFT_FORK_MEM", "12g")
+    // keeps the (untimed) pretouch cheap — first-touch allocation on this
+    // host is nonlinearly slow above ~8 GiB (4g=0.4 s, 8g=5 s, 12g=43-138 s
+    // measured), so 8g is both the safe and the fast choice. Falls back to
+    // SPARK_DRIVER_MEM (the pre-r2 knob name) under the same clamp.
+    val heap = sys.env.get("SPARK_GRAFT_FORK_MEM").orElse {
+      sys.env.get("SPARK_DRIVER_MEM").map { req =>
+        val gb = "^([0-9]+)g$".r.findFirstMatchIn(req.trim.toLowerCase).map(_.group(1).toLong)
+        gb match {
+          case Some(g) => s"${math.min(math.max(g, 2L), 8L)}g"
+          case None => req
+        }
+      }
+    }.getOrElse("8g")
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
@@ -99,7 +112,12 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       // a failed query is recorded as -1 (excluded from the total), not as
       // its elapsed-until-failure time
-      results += name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      results += name -> sec
+      // per-query progress on stderr as it completes: a killed run still
+      // leaves every finished timing in the log (the final JSON line is
+      // all-or-nothing)
+      System.err.println(f"[bench] $name%-22s ${sec}%8.2f s")
     }
 
     // 5. scaling evidence (north rule: N -> 4N at >= 0.8). Two series, both
@@ -152,11 +170,22 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val kgramsPerSec = (kgrams / buildSec).toLong
+    // self-diagnosing artifact: the harness JVM's actual heap + collector
+    // ride in the JSON, so a GC-roulette anomaly (round-2's 368 s catalog
+    // under 90g default-G1) is attributable from the artifact alone
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val gcNames = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    val gc = {
+      val it = gcNames.iterator(); val b = new StringBuilder
+      while (it.hasNext) { if (b.nonEmpty) b += '+'; b ++= it.next().getName.replace(' ', '_') }
+      b.toString
+    }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","cpus":$cpus,"bench_rows":$benchRows,"kgrams":$kgrams""" +
       s""","bqf_build_kgrams_per_sec":$kgramsPerSec,"point_probes":$nProbes""" +
-      s""","point_queries_per_sec":${(nProbes / probeSec).toLong}$scalingJson}""")
+      s""","point_queries_per_sec":${(nProbes / probeSec).toLong}""" +
+      s""","harness_heap_mb":$heapMb,"harness_gc":"$gc"$scalingJson}""")
     spark.stop()
   }
 }

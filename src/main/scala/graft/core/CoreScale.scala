@@ -40,8 +40,19 @@ object CoreScale {
         }
       })
     }
+    // a worker dying (e.g. OOM) must fail the PROBE, not just its thread:
+    // join() returns normally either way, and a result line from a run that
+    // did less work would silently poison the scaling series
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    pool.foreach(_.setUncaughtExceptionHandler((_, e) => {
+      e.printStackTrace(); failed.set(true)
+    }))
     pool.foreach(_.start())
     pool.foreach(_.join())
+    if (failed.get()) {
+      System.err.println("CoreScale: worker thread failed; no result emitted")
+      sys.exit(1)
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     val total = shardsTotal.toLong * perShard
     println(s"""{"sec":$sec,"entries":$total,"entries_per_sec":${(total / sec).toLong},"threads":$threads,"mode":"core"}""")

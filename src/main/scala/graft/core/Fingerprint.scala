@@ -79,9 +79,18 @@ object Fingerprint {
   }
 
   /** XXH64 over UTF-8 bytes of a string (used for text shingles). */
-  def hashBytes(bytes: Array[Byte], seed: Long): Long = {
-    val len = bytes.length
-    var i = 0
+  def hashBytes(bytes: Array[Byte], seed: Long): Long =
+    hashBytes(bytes, 0, bytes.length, seed)
+
+  /** XXH64 over bytes(off until off+len) — the window form the rolling
+    * shingle kernels use: ONE byte array per document, one hash call per
+    * window, zero per-window allocation (round-2 hot-path finding: a
+    * substring+getBytes per shingle was ~2x10^8 short-lived allocations per
+    * sf0.1 catalog pass).
+    */
+  def hashBytes(bytes: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    var i = off
+    val end = off + len
     var h: Long = 0L
     @inline def le64(o: Int): Long = {
       var v = 0L; var j = 0
@@ -93,7 +102,7 @@ object Fingerprint {
       var v2 = seed + P2
       var v3 = seed
       var v4 = seed - P1
-      while (len - i >= 32) {
+      while (end - i >= 32) {
         v1 = round(v1, le64(i)); v2 = round(v2, le64(i + 8))
         v3 = round(v3, le64(i + 16)); v4 = round(v4, le64(i + 24))
         i += 32
@@ -103,14 +112,14 @@ object Fingerprint {
       h = mergeRound(h, v3); h = mergeRound(h, v4)
     } else h = seed + P5
     h += len
-    while (len - i >= 8) { h = rotl(h ^ round(0L, le64(i)), 27) * P1 + P4; i += 8 }
-    if (len - i >= 4) {
+    while (end - i >= 8) { h = rotl(h ^ round(0L, le64(i)), 27) * P1 + P4; i += 8 }
+    if (end - i >= 4) {
       var v = 0L; var j = 0
       while (j < 4) { v |= (bytes(i + j) & 0xffL) << (8 * j); j += 1 }
       h = rotl(h ^ (v * P1), 23) * P2 + P3
       i += 4
     }
-    while (i < len) {
+    while (i < end) {
       h = rotl(h ^ ((bytes(i) & 0xffL) * P5), 11) * P1
       i += 1
     }

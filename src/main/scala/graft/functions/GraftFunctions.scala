@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * columnar kernel instead of a per-sequence loop.
   */
 case class SgramFingerprintsExpr(child: Expression, s: Int, hashBits: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     KGramKernels.sgramFingerprints(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], s, hashBits, seed)
@@ -24,7 +25,8 @@ case class SgramFingerprintsExpr(child: Expression, s: Int, hashBits: Int, seed:
 }
 
 case class ShingleFingerprintsExpr(child: Expression, n: Int, hashBits: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     KGramKernels.shingleFingerprints(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, hashBits, seed)
@@ -34,7 +36,8 @@ case class ShingleFingerprintsExpr(child: Expression, n: Int, hashBits: Int, see
 }
 
 case class SimhashExpr(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     KGramKernels.simhash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, seed)
@@ -44,7 +47,8 @@ case class SimhashExpr(child: Expression, n: Int, seed: Long)
 }
 
 case class MinhashSignatureExpr(child: Expression, n: Int, k: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     KGramKernels.minhashSignature(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, k, seed)
@@ -54,7 +58,8 @@ case class MinhashSignatureExpr(child: Expression, n: Int, k: Int, seed: Long)
 }
 
 case class DocFingerprintExpr(child: Expression, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     KGramKernels.docFingerprint(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], seed)

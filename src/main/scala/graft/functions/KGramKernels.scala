@@ -16,24 +16,47 @@ object KGramKernels {
     UnsafeArrayData.fromPrimitiveArray(Fingerprint.windowFingerprints(arr, s, hashBits, seed))
   }
 
+  /** The rolling-window form all three shingle kernels share: ONE byte array
+    * per document, each window hashed in place via the (bytes, off, len)
+    * XXH64 overload. For all-ASCII text (every byte < 0x80 <=> numChars ==
+    * numBytes) character windows ARE byte windows, so no per-window copy
+    * exists at all; non-ASCII documents fall back to the substring path,
+    * which is bit-identical to the pre-r3 kernel (windows over UTF-16 chars,
+    * each window's UTF-8 bytes hashed).
+    */
+  @inline private def isAscii(text: UTF8String, bytes: Array[Byte]): Boolean =
+    text.numChars() == bytes.length
+
   /** Fingerprints of every n-character shingle of UTF-8 `text`.
     * Windows are taken over characters (ASCII text => bytes); each window's
     * UTF-8 bytes feed XXH64.
     */
   def shingleFingerprints(text: UTF8String, n: Int, hashBits: Int, seed: Long): ArrayData = {
-    val str = text.toString
-    val len = str.length
-    val count = len - n + 1
-    if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val out = new Array[Long](count)
+    val bytes = text.getBytes
     val mask = Bits.maskRight(hashBits)
-    var i = 0
-    while (i < count) {
-      val bytes = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out(i) = Fingerprint.hashBytes(bytes, seed) & mask
-      i += 1
+    if (isAscii(text, bytes)) {
+      val count = bytes.length - n + 1
+      if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      val out = new Array[Long](count)
+      var i = 0
+      while (i < count) {
+        out(i) = Fingerprint.hashBytes(bytes, i, n, seed) & mask
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val str = text.toString
+      val count = str.length - n + 1
+      if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      val out = new Array[Long](count)
+      var i = 0
+      while (i < count) {
+        val w = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out(i) = Fingerprint.hashBytes(w, seed) & mask
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Fingerprint of one whole token array (used for exact-dedup keys). */
@@ -46,21 +69,26 @@ object KGramKernels {
     * fingerprints weighted +-1, sign -> bit.
     */
   def simhash(text: UTF8String, n: Int, seed: Long): Long = {
-    val str = text.toString
-    val len = str.length
+    val bytes = text.getBytes
     val votes = new Array[Int](64)
-    val count = len - n + 1
-    if (count <= 0) return 0L
-    var i = 0
-    while (i < count) {
-      val bytes = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h = Fingerprint.hashBytes(bytes, seed)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+    if (isAscii(text, bytes)) {
+      val count = bytes.length - n + 1
+      if (count <= 0) return 0L
+      var i = 0
+      while (i < count) {
+        vote(votes, Fingerprint.hashBytes(bytes, i, n, seed))
+        i += 1
       }
-      i += 1
+    } else {
+      val str = text.toString
+      val count = str.length - n + 1
+      if (count <= 0) return 0L
+      var i = 0
+      while (i < count) {
+        val w = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        vote(votes, Fingerprint.hashBytes(w, seed))
+        i += 1
+      }
     }
     var sig = 0L
     var b = 0
@@ -71,25 +99,43 @@ object KGramKernels {
     sig
   }
 
+  @inline private def vote(votes: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+      b += 1
+    }
+  }
+
   /** MinHash signature: k minimum values of seeded xxh64 over the distinct
     * n-char shingles (one hash family member per signature slot).
     */
   def minhashSignature(text: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
-    val str = text.toString
-    val count = str.length - n + 1
+    val bytes = text.getBytes
     val sig = Array.fill(k)(Long.MaxValue)
-    if (count > 0) {
+    @inline def slot(base: Long): Unit = {
+      var j = 0
+      while (j < k) {
+        // one cheap derived hash per family member (xorshift-mix of base)
+        val h = Fingerprint.splitmix64(base + j * 0x9e3779b97f4a7c15L)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+    }
+    if (isAscii(text, bytes)) {
+      val count = bytes.length - n + 1
       var i = 0
       while (i < count) {
-        val bytes = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val base = Fingerprint.hashBytes(bytes, seed)
-        var j = 0
-        while (j < k) {
-          // one cheap derived hash per family member (xorshift-mix of base)
-          val h = Fingerprint.splitmix64(base + j * 0x9e3779b97f4a7c15L)
-          if (h < sig(j)) sig(j) = h
-          j += 1
-        }
+        slot(Fingerprint.hashBytes(bytes, i, n, seed))
+        i += 1
+      }
+    } else {
+      val str = text.toString
+      val count = str.length - n + 1
+      var i = 0
+      while (i < count) {
+        val w = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        slot(Fingerprint.hashBytes(w, seed))
         i += 1
       }
     }

@@ -71,22 +71,49 @@ object BqfPipeline {
     // ~10^4x fewer shuffle ROWS.
     df.select(fpCol.as("fps")).as[Array[Long]]
       .mapPartitions { docs =>
-        val builders = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nBuckets)
-        docs.foreach { fps =>
-          var i = 0
-          while (i < fps.length) {
-            val fp = fps(i)
-            val b = (fp >>> shift).toInt
-            var bb = builders(b)
-            if (bb == null) { bb = new scala.collection.mutable.ArrayBuilder.ofLong; builders(b) = bb }
-            bb.addOne(fp)
-            i += 1
+        // Bounded buffering: builders flush to chunk rows every ~4M buffered
+        // fingerprints (32 MB), so task heap is independent of
+        // input-partition size (an unbounded version scales with the
+        // partition — a skewed 100 TB split would OOM the task). The shuffle
+        // writer consumes this iterator lazily, so flushed chunks leave the
+        // heap as they are emitted. Null fingerprint arrays (a null text/
+        // tokens row upstream) contribute nothing, matching the old explode
+        // path's semantics.
+        new Iterator[(Long, Array[Long])] {
+          private val builders = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nBuckets)
+          private val queue = scala.collection.mutable.Queue.empty[(Long, Array[Long])]
+          private var nBuffered = 0L
+          private val flushAt = 4L << 20
+          private def flush(): Unit = {
+            var b = 0
+            while (b < nBuckets) {
+              val bb = builders(b)
+              if (bb != null) { queue.enqueue((b.toLong, bb.result())); builders(b) = null }
+              b += 1
+            }
+            nBuffered = 0L
           }
-        }
-        Iterator.range(0, nBuckets).flatMap { b =>
-          val bb = builders(b)
-          if (bb == null) Iterator.empty
-          else { builders(b) = null; Iterator.single((b.toLong, bb.result())) }
+          private def fill(): Unit =
+            while (queue.isEmpty && docs.hasNext) {
+              while (docs.hasNext && nBuffered < flushAt) {
+                val fps = docs.next()
+                if (fps != null) {
+                  var i = 0
+                  while (i < fps.length) {
+                    val fp = fps(i)
+                    val b = (fp >>> shift).toInt
+                    var bb = builders(b)
+                    if (bb == null) { bb = new scala.collection.mutable.ArrayBuilder.ofLong; builders(b) = bb }
+                    bb.addOne(fp)
+                    i += 1
+                  }
+                  nBuffered += fps.length
+                }
+              }
+              flush()
+            }
+          override def hasNext: Boolean = { fill(); queue.nonEmpty }
+          override def next(): (Long, Array[Long]) = { fill(); queue.dequeue() }
         }
       }
       .toDF("bucket", "chunk")

@@ -37,9 +37,23 @@ final class StageMetrics extends SparkListener {
     all.toDF()
   }
 
+  /** Minimal JSON string escape (quotes, backslashes, control chars) — a
+    * stage name is free text and must not break downstream log scrapers.
+    */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b ++= "\\\""
+      case '\\' => b ++= "\\\\"
+      case c if c < ' ' => b ++= f"\\u${c.toInt}%04x"
+      case c => b += c
+    }
+    b.toString
+  }
+
   /** One JSON line per stage, for appending to job logs. */
   def jsonLines: Seq[String] = all.map { s =>
-    s"""{"stage":${s.stageId},"attempt":${s.attempt},"name":"${s.name.replace("\"", "'")}"""" +
+    s"""{"stage":${s.stageId},"attempt":${s.attempt},"name":"${jstr(s.name)}"""" +
       s""","tasks":${s.numTasks},"wall_ms":${s.wallMs},"run_ms":${s.executorRunMs}""" +
       s""","cpu_ms":${s.executorCpuMs},"shuffle_read":${s.shuffleReadBytes}""" +
       s""","shuffle_write":${s.shuffleWriteBytes},"input":${s.inputBytes}""" +

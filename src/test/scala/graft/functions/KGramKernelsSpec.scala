@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.core.{Bits, Fingerprint}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the r3 rolling shingle kernels (one getBytes per document, windowed
+  * XXH64 over (bytes, off, len)) to the definitional recompute: windows over
+  * UTF-16 chars, each window's UTF-8 bytes hashed — i.e. exactly the pre-r3
+  * substring-per-window kernel, ASCII and non-ASCII alike.
+  */
+class KGramKernelsSpec extends AnyFunSuite {
+
+  private def refShingles(str: String, n: Int, hashBits: Int, seed: Long): Array[Long] = {
+    val count = str.length - n + 1
+    if (count <= 0) Array.emptyLongArray
+    else (0 until count).map { i =>
+      Fingerprint.hashBytes(str.substring(i, i + n).getBytes("UTF-8"), seed) & Bits.maskRight(hashBits)
+    }.toArray
+  }
+
+  private val alphabets = Seq(
+    "abcdefgh xyz",      // pure ASCII (fast path)
+    "abé döß", // 2-byte UTF-8 chars (fallback path)
+    "a€ béc")  // 3-byte UTF-8 chars
+  private def randomText(alpha: String, len: Int, seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+  }
+
+  test("hashBytes(bytes, off, len) == hashBytes(copyOfRange)") {
+    val rnd = new scala.util.Random(13)
+    val bytes = Array.fill(512)(rnd.nextInt().toByte)
+    for (off <- Seq(0, 1, 7, 100); len <- Seq(0, 1, 3, 4, 8, 12, 31, 32, 33, 64, 100)) {
+      val expect = Fingerprint.hashBytes(java.util.Arrays.copyOfRange(bytes, off, off + len), 5L)
+      assert(Fingerprint.hashBytes(bytes, off, len, 5L) == expect, s"off=$off len=$len")
+    }
+  }
+
+  test("rolling shingleFingerprints == substring recompute") {
+    for ((alpha, ai) <- alphabets.zipWithIndex; len <- Seq(0, 5, 8, 9, 33, 200)) {
+      val s = randomText(alpha, len, 7 * ai + len)
+      val got = KGramKernels.shingleFingerprints(UTF8String.fromString(s), 8, 48, 0L).toLongArray()
+      assert(got.sameElements(refShingles(s, 8, 48, 0L)), s"len=$len alpha=$ai")
+    }
+  }
+
+  test("rolling simhash == substring recompute") {
+    def ref(str: String, n: Int, seed: Long): Long = {
+      val votes = new Array[Int](64)
+      for (i <- 0 to str.length - n) {
+        val h = Fingerprint.hashBytes(str.substring(i, i + n).getBytes("UTF-8"), seed)
+        for (b <- 0 until 64) if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    for ((alpha, ai) <- alphabets.zipWithIndex; len <- Seq(0, 11, 12, 64, 300)) {
+      val s = randomText(alpha, len, 11 * ai + len)
+      assert(KGramKernels.simhash(UTF8String.fromString(s), 12, 0L) == ref(s, 12, 0L), s"len=$len alpha=$ai")
+    }
+  }
+
+  test("rolling minhashSignature == substring recompute") {
+    def ref(str: String, n: Int, k: Int, seed: Long): Array[Long] = {
+      val sig = Array.fill(k)(Long.MaxValue)
+      for (i <- 0 to str.length - n) {
+        val base = Fingerprint.hashBytes(str.substring(i, i + n).getBytes("UTF-8"), seed)
+        for (j <- 0 until k) {
+          val h = Fingerprint.splitmix64(base + j * 0x9e3779b97f4a7c15L)
+          if (h < sig(j)) sig(j) = h
+        }
+      }
+      sig
+    }
+    for ((alpha, ai) <- alphabets.zipWithIndex; len <- Seq(0, 11, 12, 64, 300)) {
+      val s = randomText(alpha, len, 17 * ai + len)
+      val got = KGramKernels.minhashSignature(UTF8String.fromString(s), 12, 16, 0L).toLongArray()
+      assert(got.sameElements(ref(s, 12, 16, 0L)), s"len=$len alpha=$ai")
+    }
+  }
+}
