@@ -103,7 +103,8 @@ object Bench {
       "q12_lang_source_stats", "q13_pricing_summary", "q14_top_revenue",
       "q15_sessionize", "q16_json_props", "q17_embedding_topk", "q18_embedding_lsh",
       "q19_tokens_per_source", "q20_tokens_seq_stats", "q21_sketch_compare",
-      "q22_quantiles", "q23_enumerate_index", "q24_embedding_ivf")
+      "q22_quantiles", "q23_enumerate_index", "q24_embedding_ivf",
+      "q25_bqf_oom_abundance", "q26_cf_second_emit")
     catalog.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

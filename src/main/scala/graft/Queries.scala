@@ -51,11 +51,22 @@ object Queries {
        |  SELECT doc_id, text, unnest(generate_series(1, length(text)-${n - 1}))::INT AS u
        |  FROM documents WHERE length(text) >= $n)""".stripMargin
 
+  /** JVM-wide cache of built sketch blobs, keyed on (input dir, params):
+    * catalog entries stay self-contained (any entry run alone still builds
+    * what it needs) while a full catalog pass stops rebuilding the same text
+    * sketch for q01/q02/q03 — the catalog then measures query cost, not
+    * rebuild cost. The key is a pure function of the inputs, so a cached
+    * blob is bit-identical to a rebuild.
+    */
+  private val sketchCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
   /** Build the text-shingle BQF for a scale dir and return a query handle. */
   def buildTextSketch(spark: SparkSession, dir: String): BqfQuery = {
-    val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
-    val bytes = BqfPipeline.buildGlobal(
-      docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams)
+    val bytes = sketchCache.computeIfAbsent(s"text|$dir|$TextParams|$ShingleN", _ => {
+      val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
+      BqfPipeline.buildGlobal(
+        docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams)
+    })
     new BqfQuery(spark, bytes)
   }
 
@@ -416,7 +427,9 @@ object Queries {
     ensureTokensParquet(spark, nRows)
     val df = TokensTable.dataframe(spark, nRows)
     val fps = sgram_fingerprints(col("tokens"), TokParams.sTokens, TokParams.hashBits, TokParams.seed)
-    val q = new BqfQuery(spark, BqfPipeline.buildGlobal(df, fps, TokParams))
+    val bytes = sketchCache.computeIfAbsent(s"tok|$nRows|$TokParams", _ =>
+      BqfPipeline.buildGlobal(df, fps, TokParams))
+    val q = new BqfQuery(spark, bytes)
     df.withColumn("st", q.sequenceStatsOf(col("tokens")))
       .select(col("doc_id"), col("st.minimum").as("min_abund"),
         col("st.maximum").as("max_abund"), col("st.presenceRatio").as("presence"))
@@ -473,6 +486,52 @@ object Queries {
       .agg(count(lit(1)).as("n_fps"))
   }
 
+  /** Order-of-magnitude counter codec end to end (ref bqf_oom.cpp:118-125):
+    * counted-fingerprint build (the reference's counted-s-mer input shape,
+    * abstract_bqf.cpp:22-52) into an OOM-mode sketch — stored =
+    * floor(log2(count)) — then every distinct shingle's abundance queried
+    * back, decoding to 2^stored. The codec is deterministic, so DuckDB can
+    * recompute it exactly with integer arithmetic (1 << (bits(count)-1)).
+    */
+  def q25OomAbundance(spark: SparkSession, dir: String): DataFrame = {
+    val OomParams = BqfParams(qBits = 15, countBits = 6, hashBits = 48,
+      mode = graft.core.CountMode.OrderOfMagnitude, kTokens = 8, zTokens = 0, seed = 0L)
+    val bytes = sketchCache.computeIfAbsent(s"oom|$dir|$OomParams|$ShingleN", _ => {
+      val counted = shingles(spark, dir, ShingleN)
+        .groupBy("shingle").agg(count(lit(1)).as("cnt"))
+        .select(fpOfShingle(col("shingle")).as("fp"), col("cnt"))
+      val bqf = SketchAggregators.bqfOverCountedFingerprints(OomParams)
+      counted.agg(bqf(col("fp"), col("cnt")).as("sketch")).head().getAs[Array[Byte]](0)
+    })
+    val q = new BqfQuery(spark, bytes)
+    shingles(spark, dir, ShingleN).select("shingle").distinct()
+      .withColumn("abund_oom", q.abundanceOf(fpOfShingle(col("shingle"))))
+      .select("shingle", "abund_oom")
+  }
+
+  /** Counting-filter second-occurrence emit, batch form (ref
+    * bqf_cf.cpp:119-183): every shingle OCCURRENCE streams through a 1-bit
+    * BQF via addReturningSecond, which returns true exactly on the count
+    * transition 1 -> 2; occurrences are shuffled by fingerprint first so all
+    * occurrences of a shingle meet in one task — the distributed layout that
+    * makes local 1->2 transitions globally correct. The emitted set is
+    * order-invariant (= shingles seen >= 2 times), so SQL checks it exactly.
+    */
+  def q26CfSecondEmit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cfParams = BqfParams(qBits = 15, countBits = 1, hashBits = 48,
+      kTokens = 8, zTokens = 0, seed = 0L)
+    shingles(spark, dir, ShingleN)
+      .select(col("shingle"), fpOfShingle(col("shingle")).as("fp"))
+      .repartition(col("fp"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val f = cfParams.fresh()
+        it.collect { case (shingle, fp) if f.addReturningSecond(fp) => shingle }
+      }
+      .toDF("shingle")
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -502,6 +561,8 @@ object Queries {
     "q22_quantiles" -> (q22Quantiles _),
     "q23_enumerate_index" -> (q23EnumerateIndex _),
     "q24_embedding_ivf" -> (q24EmbeddingIvf _),
+    "q25_bqf_oom_abundance" -> (q25OomAbundance _),
+    "q26_cf_second_emit" -> (q26CfSecondEmit _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -623,6 +684,15 @@ object Queries {
          |SELECT doc_id, CAST(min(kc) AS BIGINT) AS min_abund, CAST(max(kc) AS BIGINT) AS max_abund,
          |       CAST(count(*) FILTER (WHERE kc > 0) AS DOUBLE) / count(*) AS presence
          |FROM kg WHERE u <= n_tok - 7 GROUP BY doc_id""".stripMargin,
+    // oom codec replay, integer-exact: stored = floor(log2(c)) = bits(c)-1,
+    // reported = 2^stored (ref bqf_oom.cpp:118-125)
+    "q25_bqf_oom_abundance" ->
+      s"""SELECT shingle, CAST(1 AS BIGINT) << (length(bin(count(*))) - 1) AS abund_oom
+         |FROM ($sh8) GROUP BY shingle""".stripMargin,
+    // cf second-occurrence emit set == shingles occurring at least twice
+    // (order-invariant: the 1->2 transition fires exactly once per shingle)
+    "q26_cf_second_emit" ->
+      s"SELECT shingle FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
     // enumerate is oracle-checked through the abundance histogram, which is
     // invariant under the shingle<->fingerprint bijection
     "q23_enumerate_index" ->
