@@ -77,16 +77,27 @@ object Cli {
 
       case "filter" =>
         val df = spark.read.parquet(opts("-i"))
-        val hits = df
-          .select(explode(sgram_fingerprints(col("tokens"), params.kTokens, params.hashBits, params.seed)).as("kgram_fp"))
-          .groupBy("kgram_fp").count()
-          .filter(col("count") >= 2)
         opts.getOrElse("-f", "parquet") match {
-          case "text" => // set semantics are order-insensitive, like the reference's E2E check
-            hits.select(format_string("%d\t%d", col("kgram_fp"), col("count")))
+          case "text" =>
+            // The reference's text sink writes the DECODED k-mer, not its
+            // hash (bqf_cf.cpp:186-205 via hash_to_kmer — its xorshift hash
+            // is reversible; XXH64 is not, but the CLI has the pre-hash
+            // k-grams in hand). Emit `tok,tok,...\tcount`: grouping by the
+            // k-gram itself is the human-readable sink — the scale sink
+            // below groups by 8-byte fingerprints.
+            val k = params.kTokens
+            df.filter(size(col("tokens")) >= k)
+              .select(explode(expr(
+                s"transform(sequence(1, size(tokens) - ${k - 1}), u -> slice(tokens, u, $k))")).as("kgram"))
+              .groupBy("kgram").count()
+              .filter(col("count") >= 2)
+              .select(format_string("%s\t%d", array_join(col("kgram"), ","), col("count")))
               .write.mode("overwrite").text(opts("-o"))
-          case _ =>
-            hits.write.mode("overwrite").parquet(opts("-o"))
+          case _ => // set semantics are order-insensitive, like the reference's E2E check
+            df.select(explode(sgram_fingerprints(col("tokens"), params.kTokens, params.hashBits, params.seed)).as("kgram_fp"))
+              .groupBy("kgram_fp").count()
+              .filter(col("count") >= 2)
+              .write.mode("overwrite").parquet(opts("-o"))
         }
 
       case "enumerate" =>
@@ -97,6 +108,8 @@ object Cli {
         System.err.println(s"unknown verb: $other")
         sys.exit(2)
     }
-    spark.stop()
+    // in-process callers (tests) share the session via getOrCreate and set
+    // this property so one verb invocation doesn't tear the session down
+    if (!sys.props.contains("graft.cli.keepSession")) spark.stop()
   }
 }

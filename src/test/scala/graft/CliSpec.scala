@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.sources.TokensTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI verbs over a real parquet round-trip: build -> query ->
+  * filter (both sinks) -> enumerate. The text sink must emit the DECODED
+  * k-grams (ref bqf_cf.cpp:186-205 writes k-mer text, not hashes), so its
+  * set is compared against a plain relational recompute of `count >= 2`
+  * over the k-token windows themselves.
+  */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val dir = {
+    sys.props("graft.cli.keepSession") = "1"
+    val d = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    // duplicate the first 50 docs under fresh ids so the filter verb has
+    // genuinely repeated k-grams to find (synthetic 8-grams rarely collide)
+    val base = TokensTable.dataframe(spark, 300, partitions = 4)
+    base.unionByName(base.limit(50).withColumn("doc_id", concat(lit("dup_"), col("doc_id"))))
+      .write.parquet(s"$d/tokens.parquet")
+    d
+  }
+
+  test("build -> query round-trips through the sketch file") {
+    Cli.main(Array("build", "-i", s"$dir/tokens.parquet", "-o", s"$dir/sketch.bqf",
+      "-q", "14", "-c", "8", "-k", "8", "-z", "2"))
+    assert(new java.io.File(s"$dir/sketch.bqf").length() > 0)
+    Cli.main(Array("query", "-b", s"$dir/sketch.bqf", "-i", s"$dir/tokens.parquet",
+      "-o", s"$dir/results.parquet", "-k", "8", "-z", "2"))
+    val res = spark.read.parquet(s"$dir/results.parquet")
+    assert(res.count() == 350)
+    // every doc's s-grams are in the sketch it was built from: presence == 1
+    assert(res.filter(col("presence_ratio") < 1.0).count() == 0)
+  }
+
+  test("filter -f text emits decoded k-grams with counts == SQL count>=2") {
+    Cli.main(Array("filter", "-i", s"$dir/tokens.parquet", "-o", s"$dir/filtered_txt",
+      "-k", "8", "-f", "text"))
+    val got = spark.read.text(s"$dir/filtered_txt").as[String].collect()
+      .map { line =>
+        val Array(kg, c) = line.split("\t")
+        (kg, c.toLong)
+      }.toMap
+    val expected = spark.read.parquet(s"$dir/tokens.parquet")
+      .filter(size(col("tokens")) >= 8)
+      .select(explode(expr(
+        "transform(sequence(1, size(tokens) - 7), u -> array_join(slice(tokens, u, 8), ','))")).as("kg"))
+      .groupBy("kg").count().filter(col("count") >= 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected, s"text sink: ${got.size} k-grams vs expected ${expected.size}")
+    assert(expected.nonEmpty, "degenerate fixture: no repeated k-grams")
+  }
+
+  test("filter parquet sink matches the fingerprint recompute") {
+    Cli.main(Array("filter", "-i", s"$dir/tokens.parquet", "-o", s"$dir/filtered_pq", "-k", "8"))
+    val got = spark.read.parquet(s"$dir/filtered_pq").as[(Long, Long)].collect().toMap
+    val expected = spark.read.parquet(s"$dir/tokens.parquet")
+      .select(explode(sgram_fingerprints(col("tokens"), 8, 48, 0L)).as("fp"))
+      .groupBy("fp").count().filter(col("count") >= 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("enumerate streams the sketch entries out relationally") {
+    val out = spark.read.parquet {
+      Cli.main(Array("enumerate", "-b", s"$dir/sketch.bqf", "-o", s"$dir/enum.parquet"))
+      s"$dir/enum.parquet"
+    }
+    val n = out.count()
+    val distinct = graft.core.BackpackFilter.loadFromFile(s"$dir/sketch.bqf").distinctCount
+    assert(n == distinct)
+  }
+}
