@@ -1204,6 +1204,44 @@ object BackpackFilter {
   def loadFromFile(path: String): BackpackFilter =
     deserialize(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
 
+  /** The reference's 8-field little-endian u64 header
+    * (save_on_disk, /root/reference/src/abstract_bqf.cpp:512-529):
+    * quotient_size, remainder_size (slot bits incl. count), count_size,
+    * kmer_size, smer_size, size_limit, number_blocks, elements_inside —
+    * followed by (1<<q)*(3+remainder_size)/64 table words.
+    */
+  final case class ReferenceHeader(quotientSize: Int, remainderSize: Int, countSize: Int,
+                                   kmerSize: Int, smerSize: Int, sizeLimit: Long,
+                                   numberBlocks: Long, elementsInside: Long) {
+    def tableWords: Long = (1L << quotientSize) * (3L + remainderSize) / 64L
+  }
+
+  /** Loader shim for a reference-written `.bqf` file header. The TABLE is
+    * not converted: the reference fingerprints 2-bit nucleotide codes with
+    * its reversible xorshift hash, so its entries answer queries in a
+    * different fingerprint domain — a byte-identical import would be
+    * semantically wrong (see README §On-disk sketch format). The header is
+    * enough to inspect a reference sketch and size an equivalent
+    * [[BackpackFilter]]; port contents by re-building from the reference's
+    * enumerated (s-mer, count) dump.
+    */
+  def readReferenceHeader(path: String): ReferenceHeader = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    require(bytes.length >= 64, "reference sketch: truncated header")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val h = ReferenceHeader(bb.getLong.toInt, bb.getLong.toInt, bb.getLong.toInt,
+      bb.getLong.toInt, bb.getLong.toInt, bb.getLong, bb.getLong, bb.getLong)
+    require(h.quotientSize > 0 && h.quotientSize < 64 &&
+      h.numberBlocks == (1L << h.quotientSize) / 64,
+      s"not a reference-format sketch (q=${h.quotientSize}, blocks=${h.numberBlocks})")
+    // a reference file is EXACTLY header + table words; this library's own
+    // 11-field format is 24 bytes of extra header, so exact length also
+    // rejects an own-format file whose first 8 fields happen to parse
+    require(bytes.length == 64 + 8 * h.tableWords,
+      s"not a reference-format sketch: ${bytes.length} bytes != 64 + 8*${h.tableWords}")
+    h
+  }
+
   def deserialize(bytes: Array[Byte]): BackpackFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -1,78 +1,77 @@
 package graft.operators
 
 import graft.core.Fingerprint.splitmix64
+import graft.operators.MediaCodecs._
 import org.apache.spark.sql.{Dataset, SparkSession}
 
-/** Multimodal (image/audio/video) columns as opaque binary payloads with
-  * typed metadata, plus the batch operators a training-data pipeline needs:
-  * decode, feature-extract, resize, frame-sample.
+/** Multimodal (image/audio/video) columns as opaque binary payloads, plus
+  * the batch operators a training-data pipeline needs: decode,
+  * feature-extract, resize, frame-sample.
   *
-  * The actual media codecs are NOT available in this container, so the
-  * decode step is a STUB: payloads are deterministic fake encodings whose
-  * 16-byte header carries (kind, width|sampleRate, height|channels, frames),
-  * and `decodeHeader` stands in for the real decoder. Everything around the
-  * stub — schema, binary column handling, mapPartitions batch shape,
-  * partition-preserving execution — is real and tested, so swapping in a
-  * JNI/ffmpeg decoder is a one-function change.
+  * Since round 3 the payloads are REAL public formats parsed by real
+  * decoders ([[MediaCodecs]]): PPM (Netpbm P6) and BMP (24bpp DIB) images,
+  * WAV (RIFF PCM16) audio, and PPM streams (concatenated P6 frames — the
+  * ffmpeg image2pipe convention) for video. No fake encoding remains: every
+  * operator below decodes genuine bytes, works in pixel/sample space, and
+  * re-encodes. The Spark shape is the scale story: payloads stay opaque
+  * binary columns, operators are partition-preserving mapPartitions batches
+  * (one decoder context per partition — the same layout a JNI/ffmpeg decoder
+  * would need), and nothing routes through the driver.
   */
 object Multimodal {
 
-  final case class MediaMeta(kind: String, width: Int, height: Int, frames: Int)
   final case class MediaBlob(media_id: Long, kind: String, payload: Array[Byte])
-  final case class MediaDecoded(media_id: Long, kind: String, width: Int, height: Int,
-                                frames: Int, n_bytes: Int)
+
+  /** Decoded metadata: for images/video (width, height) are pixels and
+    * `frames` counts P6 frames; for audio width=sampleRate, height=channels,
+    * frames=samples per channel.
+    */
+  final case class MediaDecoded(media_id: Long, kind: String, container: String,
+                                width: Int, height: Int, frames: Int, n_bytes: Int)
   final case class MediaFeatures(media_id: Long, features: Array[Float])
 
-  private final val Magic = 0x47.toByte // header marker of the fake encoding
+  // =====================================================================
+  // synthesis (deterministic test corpus through the REAL encoders)
+  // =====================================================================
 
-  /** Deterministic fake "encoder": 16-byte header + splitmix-generated body
-    * (width*height bytes per frame). Stand-in for real JPEG/WAV/MP4 bytes.
-    */
-  def fakeEncode(id: Long, kind: String, width: Int, height: Int, frames: Int): Array[Byte] = {
-    val body = width * height * frames
-    val out = new Array[Byte](16 + body)
-    out(0) = Magic
-    out(1) = kind.headOption.getOrElse('i').toByte
-    writeInt(out, 2, width); writeInt(out, 6, height); writeInt(out, 10, frames)
+  private def pix(id: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var state = splitmix64(id * 7919 + n)
     var i = 0
-    var state = splitmix64(id * 7919 + width)
-    while (i < body) {
+    while (i < n) {
       state = splitmix64(state)
-      out(16 + i) = (state & 0xff).toByte
+      out(i) = (state & 0xff).toByte
       i += 1
     }
     out
   }
 
-  private def writeInt(a: Array[Byte], off: Int, v: Int): Unit = {
-    a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
-    a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
-  }
-  private def readInt(a: Array[Byte], off: Int): Int =
-    ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) | ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
-
-  /** STUB decoder — replace with the real codec (e.g. javacv/ffmpeg) when
-    * available. Parses the deterministic fake header.
+  /** Deterministic media table: ppm image / bmp image / wav audio / ppm-stream
+    * video round-robin, all built with the real encoders.
     */
-  def decodeHeader(payload: Array[Byte]): MediaMeta = {
-    require(payload.length >= 16 && payload(0) == Magic, "not a fake-encoded media payload")
-    val kind = payload(1).toChar match {
-      case 'i' => "image"; case 'a' => "audio"; case 'v' => "video"; case c => c.toString
-    }
-    MediaMeta(kind, readInt(payload, 2), readInt(payload, 6), readInt(payload, 10))
-  }
-
-  /** Synthesize a deterministic media table: images/audio/video round-robin. */
   def synthesize(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaBlob] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
-      val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
       val w = 16 + (splitmix64(id) & 15L).toInt
-      val h = if (kind == "audio") 1 else 16 + (splitmix64(id + 1) & 15L).toInt
-      val f = if (kind == "video") 4 + (splitmix64(id + 2) & 3L).toInt else 1
-      MediaBlob(id, kind, fakeEncode(id, kind, w, h, f))
+      val h = 16 + (splitmix64(id + 1) & 15L).toInt
+      (id % 4) match {
+        case 0 => MediaBlob(id, "image", encodePpm(Image(w, h, pix(id, 3 * w * h))))
+        case 1 => MediaBlob(id, "image", encodeBmp(Image(w, h, pix(id, 3 * w * h))))
+        case 2 =>
+          val sr = 8000 + 4000 * (splitmix64(id + 2) & 1L).toInt
+          val samples = pix(id, 2048).map(b => (b * 128).toShort)
+          MediaBlob(id, "audio", encodeWav(Audio(sr, 1, samples)))
+        case _ =>
+          val nf = 4 + (splitmix64(id + 2) & 3L).toInt
+          val frames = (0 until nf).map(f => Image(w, h, pix(id * 31 + f, 3 * w * h)))
+          MediaBlob(id, "video", encodePpmStream(frames))
+      }
     }
   }
+
+  // =====================================================================
+  // operators (partition-preserving batches over real decodes)
+  // =====================================================================
 
   /** Decode metadata for every blob — mapPartitions keeps the batch shape
     * (one decoder instance per partition, like a Pandas-UDF batch).
@@ -80,83 +79,139 @@ object Multimodal {
   def decode(blobs: Dataset[MediaBlob]): Dataset[MediaDecoded] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
-      // per-partition decoder setup would go here (codec contexts are not
-      // serializable, so they must be constructed executor-side)
       it.map { b =>
-        val m = decodeHeader(b.payload)
-        MediaDecoded(b.media_id, m.kind, m.width, m.height, m.frames, b.payload.length)
+        sniff(b.payload) match {
+          case "ppm" =>
+            val frames = decodePpmStream(b.payload)
+            val kind = if (frames.length > 1) "video" else "image"
+            MediaDecoded(b.media_id, kind, "ppm",
+              frames.head.width, frames.head.height, frames.length, b.payload.length)
+          case "bmp" =>
+            val img = decodeBmp(b.payload)
+            MediaDecoded(b.media_id, "image", "bmp", img.width, img.height, 1, b.payload.length)
+          case "wav" =>
+            val a = decodeWav(b.payload)
+            MediaDecoded(b.media_id, "audio", "wav",
+              a.sampleRate, a.channels, a.samples.length / a.channels, b.payload.length)
+        }
       }
     }
   }
 
-  /** Fixed-width feature vectors (16 bins): deterministic byte-histogram of
-    * the decoded body — the stand-in for an embedding model forward pass.
+  /** Fixed-width feature vectors (16 bins): normalized histogram over the
+    * DECODED content (pixel bytes / 16-bit sample magnitudes) — the
+    * deterministic stand-in for an embedding model forward pass, now fed by
+    * real decodes rather than raw container bytes.
     */
   def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.map { b =>
         val hist = new Array[Float](16)
-        var i = 16
-        while (i < b.payload.length) {
-          hist((b.payload(i) & 0xff) >>> 4) += 1f
-          i += 1
+        var n = 0
+        sniff(b.payload) match {
+          case "ppm" =>
+            decodePpmStream(b.payload).foreach { img =>
+              var i = 0
+              while (i < img.rgb.length) { hist((img.rgb(i) & 0xff) >>> 4) += 1f; i += 1 }
+              n += img.rgb.length
+            }
+          case "bmp" =>
+            val img = decodeBmp(b.payload)
+            var i = 0
+            while (i < img.rgb.length) { hist((img.rgb(i) & 0xff) >>> 4) += 1f; i += 1 }
+            n = img.rgb.length
+          case "wav" =>
+            val a = decodeWav(b.payload)
+            var i = 0
+            while (i < a.samples.length) {
+              hist(((a.samples(i) & 0xffff) >>> 12) & 15) += 1f
+              i += 1
+            }
+            n = a.samples.length
         }
-        val n = math.max(1, b.payload.length - 16).toFloat
+        val d = math.max(1, n).toFloat
         var j = 0
-        while (j < 16) { hist(j) /= n; j += 1 }
+        while (j < 16) { hist(j) /= d; j += 1 }
         MediaFeatures(b.media_id, hist)
       }
     }
   }
 
-  /** Resize: re-encode at half resolution by 2x2 subsampling of each frame
-    * (real implementation would go through the decoded pixel buffer).
+  /** 2x2 box-filter downscale of one frame (channel-wise average). */
+  private def halveFrame(img: Image): Image = {
+    val nw = math.max(1, img.width / 2)
+    val nh = math.max(1, img.height / 2)
+    val out = new Array[Byte](3 * nw * nh)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        var c = 0
+        while (c < 3) {
+          val x2 = math.min(2 * x + 1, img.width - 1)
+          val y2 = math.min(2 * y + 1, img.height - 1)
+          val s = (img.rgb(3 * (2 * y * img.width + 2 * x) + c) & 0xff) +
+            (img.rgb(3 * (2 * y * img.width + x2) + c) & 0xff) +
+            (img.rgb(3 * (y2 * img.width + 2 * x) + c) & 0xff) +
+            (img.rgb(3 * (y2 * img.width + x2) + c) & 0xff)
+          out(3 * (y * nw + x) + c) = (s / 4).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(nw, nh, out)
+  }
+
+  /** Resize: true pixel-space 2x2 box filter per frame, re-encoded in the
+    * same container; audio downsamples by 2 (pairwise average, half the
+    * sample rate).
     */
   def resizeHalf(blobs: Dataset[MediaBlob]): Dataset[MediaBlob] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.map { b =>
-        val m = decodeHeader(b.payload)
-        val nw = math.max(1, m.width / 2)
-        val nh = math.max(1, m.height / 2)
-        val out = new Array[Byte](16 + nw * nh * m.frames)
-        System.arraycopy(b.payload, 0, out, 0, 16)
-        writeInt(out, 2, nw); writeInt(out, 6, nh)
-        var f = 0
-        while (f < m.frames) {
-          var y = 0
-          while (y < nh) {
-            var x = 0
-            while (x < nw) {
-              out(16 + (f * nh + y) * nw + x) =
-                b.payload(16 + (f * m.height + y * 2) * m.width + x * 2)
-              x += 1
+        val out = sniff(b.payload) match {
+          case "ppm" => encodePpmStream(decodePpmStream(b.payload).map(halveFrame))
+          case "bmp" => encodeBmp(halveFrame(decodeBmp(b.payload)))
+          case "wav" =>
+            val a = decodeWav(b.payload)
+            val frames = a.samples.length / a.channels
+            val ns = new Array[Short]((frames / 2) * a.channels)
+            var f = 0
+            while (f < frames / 2) {
+              var c = 0
+              while (c < a.channels) {
+                val s1 = a.samples((2 * f) * a.channels + c)
+                val s2 = a.samples((2 * f + 1) * a.channels + c)
+                ns(f * a.channels + c) = ((s1 + s2) / 2).toShort
+                c += 1
+              }
+              f += 1
             }
-            y += 1
-          }
-          f += 1
+            encodeWav(Audio(a.sampleRate / 2, a.channels, ns))
         }
         b.copy(payload = out)
       }
     }
   }
 
-  /** Frame sampling for video: keep every `stride`-th frame. */
+  /** Frame sampling for PPM-stream video: keep every `stride`-th frame.
+    * Non-video payloads pass through unchanged.
+    */
   def sampleFrames(blobs: Dataset[MediaBlob], stride: Int): Dataset[MediaBlob] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.map { b =>
-        val m = decodeHeader(b.payload)
-        val kept = (0 until m.frames by stride).toArray
-        val frameBytes = m.width * m.height
-        val out = new Array[Byte](16 + kept.length * frameBytes)
-        System.arraycopy(b.payload, 0, out, 0, 16)
-        writeInt(out, 10, kept.length)
-        kept.zipWithIndex.foreach { case (src, dst) =>
-          System.arraycopy(b.payload, 16 + src * frameBytes, out, 16 + dst * frameBytes, frameBytes)
+        if (sniff(b.payload) != "ppm") b
+        else {
+          val frames = decodePpmStream(b.payload)
+          if (frames.length <= 1) b
+          else b.copy(payload = encodePpmStream(
+            frames.indices.collect { case i if i % stride == 0 => frames(i) }))
         }
-        b.copy(payload = out)
       }
     }
   }

@@ -1,52 +1,107 @@
 package graft.operators
 
 import graft.SparkTestSession
+import graft.operators.MediaCodecs._
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("binary schema + decode plumbing round-trips deterministically") {
-    val blobs = Multimodal.synthesize(spark, 90, partitions = 3)
-    val schema = blobs.toDF().schema
-    assert(schema("payload").dataType.typeName == "binary")
-    val decoded = Multimodal.decode(blobs).collect()
-    assert(decoded.length == 90)
-    assert(decoded.count(_.kind == "image") == 30)
-    assert(decoded.count(_.kind == "video") == 30)
-    decoded.foreach { d =>
-      assert(d.n_bytes == 16 + d.width * d.height * d.frames)
-      assert(if (d.kind == "video") d.frames >= 4 else d.frames == 1)
+  private def img(w: Int, h: Int, seed: Int): Image = {
+    val rnd = new scala.util.Random(seed)
+    Image(w, h, Array.fill(3 * w * h)(rnd.nextInt().toByte))
+  }
+
+  test("PPM/BMP/WAV codecs round-trip bit-exactly") {
+    for (i <- Seq(img(1, 1, 1), img(17, 9, 2), img(32, 32, 3))) {
+      val p = decodePpm(encodePpm(i))
+      assert(p.width == i.width && p.height == i.height && p.rgb.sameElements(i.rgb), "ppm")
+      val b = decodeBmp(encodeBmp(i))
+      assert(b.width == i.width && b.height == i.height && b.rgb.sameElements(i.rgb), "bmp")
     }
-    // determinism: same ids -> same payloads
-    val again = Multimodal.synthesize(spark, 90, partitions = 5).collect().sortBy(_.media_id)
+    val rnd = new scala.util.Random(5)
+    for (ch <- Seq(1, 2)) {
+      val a = Audio(16000, ch, Array.fill(1000 * ch)(rnd.nextInt().toShort))
+      val d = decodeWav(encodeWav(a))
+      assert(d.sampleRate == 16000 && d.channels == ch && d.samples.sameElements(a.samples))
+    }
+    val frames = Seq(img(8, 6, 7), img(8, 6, 8), img(8, 6, 9))
+    val ds = decodePpmStream(encodePpmStream(frames))
+    assert(ds.length == 3 && ds.zip(frames).forall { case (a, b) => a.rgb.sameElements(b.rgb) })
+  }
+
+  test("PPM parser handles comments and multi-digit dims") {
+    val i = img(123, 45, 11)
+    val withComment = ("P6\n# a comment line\n123 45\n255\n").getBytes("US-ASCII") ++ i.rgb
+    val d = decodePpm(withComment)
+    assert(d.width == 123 && d.height == 45 && d.rgb.sameElements(i.rgb))
+  }
+
+  test("binary schema + decode plumbing over real containers") {
+    val blobs = Multimodal.synthesize(spark, 80, partitions = 4)
+    assert(blobs.toDF().schema("payload").dataType.typeName == "binary")
+    val decoded = Multimodal.decode(blobs).collect()
+    assert(decoded.length == 80)
+    assert(decoded.count(_.kind == "image") == 40) // ppm + bmp
+    assert(decoded.count(_.kind == "audio") == 20)
+    assert(decoded.count(_.kind == "video") == 20)
+    assert(decoded.filter(_.kind == "image").map(_.container).toSet == Set("ppm", "bmp"))
+    decoded.foreach { d =>
+      d.kind match {
+        case "audio" => assert(d.width >= 8000 && d.height == 1 && d.frames == 2048)
+        case "video" => assert(d.container == "ppm" && d.frames >= 4)
+        case _ => assert(d.frames == 1 && d.width >= 16 && d.height >= 16)
+      }
+    }
+    // determinism across partitioning
+    val again = Multimodal.synthesize(spark, 80, partitions = 7).collect().sortBy(_.media_id)
     val first = blobs.collect().sortBy(_.media_id)
     assert(first.zip(again).forall { case (a, b) => java.util.Arrays.equals(a.payload, b.payload) })
   }
 
-  test("feature extraction yields normalized fixed-width vectors") {
-    val feats = Multimodal.extractFeatures(Multimodal.synthesize(spark, 30)).collect()
-    assert(feats.forall(_.features.length == 16))
+  test("feature extraction: normalized 16-bin histograms of decoded content") {
+    val feats = Multimodal.extractFeatures(Multimodal.synthesize(spark, 24)).collect()
+    assert(feats.length == 24 && feats.forall(_.features.length == 16))
     feats.foreach { f =>
       val s = f.features.sum
       assert(math.abs(s - 1.0f) < 1e-3, s"histogram not normalized: $s")
     }
   }
 
-  test("resize halves dimensions; frame sampling keeps every k-th frame") {
-    val blobs = Multimodal.synthesize(spark, 30)
-    val resized = Multimodal.decode(Multimodal.resizeHalf(blobs)).collect()
+  test("resize halves pixel dims (2x2 box filter) and audio sample rate") {
+    val blobs = Multimodal.synthesize(spark, 24, partitions = 2)
     val orig = Multimodal.decode(blobs).collect().map(d => d.media_id -> d).toMap
+    val resized = Multimodal.decode(Multimodal.resizeHalf(blobs)).collect()
     resized.foreach { r =>
       val o = orig(r.media_id)
-      assert(r.width == math.max(1, o.width / 2) && r.height == math.max(1, o.height / 2))
-      assert(r.frames == o.frames)
+      r.kind match {
+        case "audio" =>
+          assert(r.width == o.width / 2 && r.frames == o.frames / 2)
+        case _ =>
+          assert(r.width == math.max(1, o.width / 2) && r.height == math.max(1, o.height / 2))
+          assert(r.frames == o.frames)
+          assert(r.container == o.container, "resize must re-encode in the same container")
+      }
     }
-    val videos = blobs.filter(_.kind == "video")
-    val sampled = Multimodal.decode(Multimodal.sampleFrames(videos, 2)).collect()
-    val ov = Multimodal.decode(videos).collect().map(d => d.media_id -> d).toMap
+    // box-filter ground truth on a hand-built 2x2 single-channel-checkable image
+    val i = Image(2, 2, Array[Byte](
+      10, 0, 0, 20, 0, 0,
+      30, 0, 0, 40, 0, 0))
+    val half = decodePpm(
+      Multimodal.resizeHalf(spark.createDataset(Seq(Multimodal.MediaBlob(0, "image", encodePpm(i))))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaBlob])).collect()(0).payload)
+    assert(half.width == 1 && half.height == 1)
+    assert((half.rgb(0) & 0xff) == 25) // (10+20+30+40)/4
+  }
+
+  test("frame sampling keeps every k-th PPM frame, passes others through") {
+    val blobs = Multimodal.synthesize(spark, 24, partitions = 2)
+    val orig = Multimodal.decode(blobs).collect().map(d => d.media_id -> d).toMap
+    val sampled = Multimodal.decode(Multimodal.sampleFrames(blobs, 2)).collect()
     sampled.foreach { s =>
-      assert(s.frames == (ov(s.media_id).frames + 1) / 2)
+      val o = orig(s.media_id)
+      if (o.kind == "video") assert(s.frames == (o.frames + 1) / 2)
+      else assert(s.frames == o.frames)
     }
   }
 
