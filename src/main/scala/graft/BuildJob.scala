@@ -65,6 +65,100 @@ object BuildJob {
           .reduce(_ + _)
         println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"consume"}""")
         emitStages(); spark.stop(); return
+      case "chunks" => // decompose: map side of the sorted build only —
+        // fingerprints + per-bucket chunk builders + chunk-row encode, NO
+        // exchange (counts chunk rows in place). sorted minus chunks
+        // isolates what the shuffle write/read itself costs.
+        import spark.implicits._
+        val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+        val n = df.select(fps.as("fps")).as[Array[Long]]
+          .mapPartitions { docs =>
+            val builders = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nBuckets)
+            docs.foreach { arr =>
+              if (arr != null) {
+                var i = 0
+                while (i < arr.length) {
+                  val b = (arr(i) >>> shift).toInt
+                  if (builders(b) == null) builders(b) = new scala.collection.mutable.ArrayBuilder.ofLong
+                  builders(b).addOne(arr(i))
+                  i += 1
+                }
+              }
+            }
+            Iterator.range(0, nBuckets).flatMap { b =>
+              if (builders(b) == null) Iterator.empty
+              else { val r = builders(b).result(); builders(b) = null; Iterator.single((b.toLong, r)) }
+            }
+          }
+          .map(c => c._2.length.toLong).reduce(_ + _)
+        println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"chunks"}""")
+        emitStages(); spark.stop(); return
+      case "write" => // decompose: chunks + exchange write/read, NO array
+        // decode and no shard build (bare count after the repartition)
+        val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+        val spark2 = spark; import spark2.implicits._
+        val n = df.select(fps.as("fps")).as[Array[Long]]
+          .mapPartitions { docs =>
+            val builders = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nBuckets)
+            docs.foreach { arr =>
+              if (arr != null) {
+                var i = 0
+                while (i < arr.length) {
+                  val b = (arr(i) >>> shift).toInt
+                  if (builders(b) == null) builders(b) = new scala.collection.mutable.ArrayBuilder.ofLong
+                  builders(b).addOne(arr(i))
+                  i += 1
+                }
+              }
+            }
+            Iterator.range(0, nBuckets).flatMap { b =>
+              if (builders(b) == null) Iterator.empty
+              else { val r = builders(b).result(); builders(b) = null; Iterator.single((b.toLong, r)) }
+            }
+          }
+          .toDF("bucket", "chunk")
+          .repartition(nBuckets, col("bucket"))
+          // sum(size(chunk)) reads only each array's length header — keeps
+          // the chunk column from being pruned out of the exchange without
+          // paying the Array[Long] decode
+          .agg(sum(size(col("chunk")))).head().getLong(0)
+        println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"write"}""")
+        emitStages(); spark.stop(); return
+      case "writebin" => // A/B of "write": chunks packed to BINARY columns
+        // (one Platform.copyMemory per chunk) instead of array<long>
+        val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+        val spark3 = spark; import spark3.implicits._
+        val n = df.select(fps.as("fps")).as[Array[Long]]
+          .mapPartitions { docs =>
+            val builders = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nBuckets)
+            docs.foreach { arr =>
+              if (arr != null) {
+                var i = 0
+                while (i < arr.length) {
+                  val b = (arr(i) >>> shift).toInt
+                  if (builders(b) == null) builders(b) = new scala.collection.mutable.ArrayBuilder.ofLong
+                  builders(b).addOne(arr(i))
+                  i += 1
+                }
+              }
+            }
+            Iterator.range(0, nBuckets).flatMap { b =>
+              if (builders(b) == null) Iterator.empty
+              else {
+                val r = builders(b).result(); builders(b) = null
+                val bytes = new Array[Byte](8 * r.length)
+                org.apache.spark.unsafe.Platform.copyMemory(
+                  r, org.apache.spark.unsafe.Platform.LONG_ARRAY_OFFSET,
+                  bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length)
+                Iterator.single((b.toLong, bytes))
+              }
+            }
+          }
+          .toDF("bucket", "chunk")
+          .repartition(nBuckets, col("bucket"))
+          .agg(sum(octet_length(col("chunk")))).head().getLong(0)
+        println(s"""{"sec":${(System.nanoTime() - t0) / 1e9},"kgrams":$kgrams,"shards":0,"sketch_bytes":$n,"cpus":$cpus,"mode":"writebin"}""")
+        emitStages(); spark.stop(); return
       case "merge" => // time the DISTRIBUTED merge only: 128 shards -> 16
         val shards = graft.plans.BqfPipeline.buildIndexSorted(df, fps, params, nBuckets)
         shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count() // build untimed
