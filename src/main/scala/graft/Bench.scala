@@ -104,7 +104,7 @@ object Bench {
       "q15_sessionize", "q16_json_props", "q17_embedding_topk", "q18_embedding_lsh",
       "q19_tokens_per_source", "q20_tokens_seq_stats", "q21_sketch_compare",
       "q22_quantiles", "q23_enumerate_index", "q24_embedding_ivf",
-      "q25_bqf_oom_abundance", "q26_cf_second_emit")
+      "q25_bqf_oom_abundance", "q26_cf_second_emit", "q27_embedding_neardup")
     catalog.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -532,6 +532,28 @@ object Queries {
       .toDF("shingle")
   }
 
+  /** Embedding-cosine near-duplicate detection — the dedup flavor of the
+    * ANN family: every pair with cosine similarity >= 0.4, exact (the
+    * deterministic baseline an approximate pass is recalled against; at
+    * corpus scale the candidate set comes from the q18 LSH buckets or q24
+    * IVF cells instead of the O(n^2) self-join, exactly as for text
+    * near-dup q05 -> q06). Norms are precomputed per vector before the
+    * join; the pair dot product is the same sequential double reduction
+    * the DuckDB oracle replays.
+    */
+  def q27EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), expr(norm).as("nrm"))
+    val dot = "aggregate(zip_with(av, bv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    emb.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("an"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("bv"), col("nrm").as("bn")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", expr(dot) / (col("an") * col("bn")))
+      .filter(col("sim") >= 0.4)
+      .select("a_id", "b_id", "sim")
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -563,6 +585,7 @@ object Queries {
     "q24_embedding_ivf" -> (q24EmbeddingIvf _),
     "q25_bqf_oom_abundance" -> (q25OomAbundance _),
     "q26_cf_second_emit" -> (q26CfSecondEmit _),
+    "q27_embedding_neardup" -> (q27EmbeddingNearDup _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -693,6 +716,16 @@ object Queries {
     // (order-invariant: the 1->2 transition fires exactly once per shingle)
     "q26_cf_second_emit" ->
       s"SELECT shingle FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
+    // exact cosine near-dup pairs: same per-element double casts and
+    // sequential sums as the Spark side (the q17 recipe), raw sim emitted
+    "q27_embedding_neardup" ->
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |           FROM read_parquet('$EmbOracleParquet'))
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) / (a.nrm * b.nrm) AS sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
     // enumerate is oracle-checked through the abundance histogram, which is
     // invariant under the shingle<->fingerprint bijection
     "q23_enumerate_index" ->
