@@ -68,6 +68,21 @@ case class DocFingerprintExpr(child: Expression, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+case class FloatDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KGramKernels.floatDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KGramKernels.floatDot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API surface of the fingerprint kernels. */
 object GraftFunctions {
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -92,4 +107,8 @@ object GraftFunctions {
   /** Rolling polynomial document fingerprint (mod 2^61-1). */
   def doc_fingerprint(text: Column, seed: Long = 0L): Column =
     col(DocFingerprintExpr(expr(text), seed))
+
+  /** Codegen double-precision dot product of two array<float> columns. */
+  def float_dot(a: Column, b: Column): Column =
+    col(FloatDotExpr(expr(a), expr(b)))
 }

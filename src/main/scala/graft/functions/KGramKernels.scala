@@ -142,6 +142,22 @@ object KGramKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Sequential double-precision dot product of two float arrays — the
+    * codegen-friendly replacement for `aggregate(zip_with(a, b, x*y), ...)`
+    * (higher-order functions are CodegenFallback and pay interpreted lambda
+    * dispatch per ELEMENT; this is one static call per row). The summation
+    * order is identical (left-to-right, 0-seeded), so results are
+    * bit-identical to the lambda form and to the DuckDB list_sum oracle.
+    */
+  def floatDot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    s
+  }
+
   /** Rolling polynomial fingerprint of a whole document (mod 2^61-1). */
   def docFingerprint(text: UTF8String, seed: Long): Long = {
     val bytes = text.getBytes
