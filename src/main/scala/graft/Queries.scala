@@ -286,16 +286,17 @@ object Queries {
     */
   def q17EmbeddingTopK(spark: SparkSession, dir: String): DataFrame = {
     // norms are precomputed per vector BEFORE the cross join — recomputing
-    // them per pair would redo an O(d) reduction n_q * n times
-    val norm = "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    // them per pair would redo an O(d) reduction n_q * n times; float_dot
+    // is the codegen kernel (same left-to-right double summation as the
+    // lambda form it replaced, so the DuckDB oracle is unchanged)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"), expr(norm).as("nrm"))
-    val dot = "aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      .select(col("vec_id"), col("embedding"),
+        sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"))
     val joined = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
       .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn")))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", expr(dot) / (col("qn") * col("nn")))
+      .withColumn("sim", float_dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     joined.withColumn("rank",
         row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
       .filter(col("rank") <= 3)
@@ -384,17 +385,16 @@ object Queries {
       lit(0.0), (acc, v) => acc + v)
     // struct(sim, cid) sorts/maxes lexicographically -> argmax with cid tiebreak
     val cellStructs = array((0 until k).map(i => struct(dot(cents(i)).as("sim"), lit(i).as("cid"))): _*)
-    val norm = "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    val base = emb.select(col("vec_id"), col("embedding"), expr(norm).as("nrm"), cellStructs.as("cs"))
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"), cellStructs.as("cs"))
     val assigned = base.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"),
       array_max(col("cs")).getField("cid").as("cell"))
     val probes = base.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"),
         explode(expr(s"transform(slice(sort_array(cs, false), 1, $nprobe), x -> x.cid)")).as("cell"))
-    val pairDot = "aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     broadcast(probes).join(assigned, "cell")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", expr(pairDot) / (col("qn") * col("nn")))
+      .withColumn("sim", float_dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "nid")

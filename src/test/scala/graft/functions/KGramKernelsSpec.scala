@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.core.{Bits, Fingerprint}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -57,6 +58,19 @@ class KGramKernelsSpec extends AnyFunSuite {
     for ((alpha, ai) <- alphabets.zipWithIndex; len <- Seq(0, 11, 12, 64, 300)) {
       val s = randomText(alpha, len, 11 * ai + len)
       assert(KGramKernels.simhash(UTF8String.fromString(s), 12, 0L) == ref(s, 12, 0L), s"len=$len alpha=$ai")
+    }
+  }
+
+  test("floatDot == sequential double reference (the lambda-form order)") {
+    val rnd = new scala.util.Random(21)
+    for (n <- Seq(0, 1, 7, 64, 129)) {
+      val a = Array.fill(n)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(n)(rnd.nextFloat() * 2 - 1)
+      var expect = 0.0
+      for (i <- 0 until n) expect += a(i).toDouble * b(i).toDouble
+      val got = KGramKernels.floatDot(
+        UnsafeArrayData.fromPrimitiveArray(a), UnsafeArrayData.fromPrimitiveArray(b))
+      assert(java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(expect), s"n=$n")
     }
   }
 
