@@ -497,9 +497,12 @@ object Queries {
     val OomParams = BqfParams(qBits = 15, countBits = 6, hashBits = 48,
       mode = graft.core.CountMode.OrderOfMagnitude, kTokens = 8, zTokens = 0, seed = 0L)
     val bytes = sketchCache.computeIfAbsent(s"oom|$dir|$OomParams|$ShingleN", _ => {
-      val counted = shingles(spark, dir, ShingleN)
-        .groupBy("shingle").agg(count(lit(1)).as("cnt"))
-        .select(fpOfShingle(col("shingle")).as("fp"), col("cnt"))
+      // hash BEFORE the count: the exchange moves 8-byte fingerprints, not
+      // shingle strings (fp<->shingle is 1:1 at 48 bits and these
+      // cardinalities, so per-fp counts == per-shingle counts)
+      val counted = docs(spark, dir).filter(length(col("text")) >= ShingleN)
+        .select(explode(shingle_fingerprints(col("text"), ShingleN, OomParams.hashBits, OomParams.seed)).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("cnt"))
       val bqf = SketchAggregators.bqfOverCountedFingerprints(OomParams)
       counted.agg(bqf(col("fp"), col("cnt")).as("sketch")).head().getAs[Array[Byte]](0)
     })
