@@ -50,6 +50,22 @@ object StreamingOps {
     fps.groupBy(col("value")).count().filter(col("count") >= 2)
       .select(col("value")).as[Long](longEnc)
 
+  /** Streaming sessionization — the unbounded twin of the q15 batch
+    * operator, expressed with Spark's NATIVE session windows: events gap
+    * apart by more than `gap` start a new session per user; the watermark
+    * lets state for closed sessions be evicted, so state size tracks OPEN
+    * sessions only. Emits one row per closed session
+    * (user_id, session start, session end, n_events).
+    */
+  def sessionize(events: org.apache.spark.sql.DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Per-key abundance state maintained incrementally: updates a running
     * (fingerprint -> count) with saturation, emitting (fp, newCount) deltas.
     */

@@ -31,6 +31,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batchAnswer)
   }
 
+  test("streaming sessionization: native session windows match the batch gap rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = StreamingOps.sessionize(input.toDS().toDF("user_id", "ts"))
+    val query = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // u1: events at 0,10,20 (one session), then 60,65 (second session);
+    // u2: single event
+    input.addData(Seq(("u1", ts(0)), ("u1", ts(10)), ("u1", ts(20)),
+      ("u1", ts(60)), ("u1", ts(65)), ("u2", ts(5))))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.sql("SELECT user_id, n_events FROM sess ORDER BY user_id, n_events")
+      .as[(String, Long)].collect().toVector
+    assert(rows == Vector(("u1", 2L), ("u1", 3L), ("u2", 1L)))
+  }
+
   test("windowed streaming aggregation with watermark over events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
