@@ -150,8 +150,16 @@ object KGramKernels {
     * bit-identical to the lambda form and to the DuckDB list_sum oracle.
     */
   def floatDot(a: ArrayData, b: ArrayData): Double = {
+    // float_dot is SQL-registered, so the inputs can be arbitrary user
+    // arrays: reject a length mismatch with a clear message instead of the
+    // generated code's bare ArrayIndexOutOfBounds. Null ELEMENTS read as
+    // 0.0f (toFloatArray's primitive widening) — documented, matches the
+    // DuckDB oracle's list_sum over null-free embeddings.
     val x = a.toFloatArray()
     val y = b.toFloatArray()
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"float_dot: array lengths differ (${x.length} vs ${y.length})")
     var s = 0.0
     var i = 0
     while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }

@@ -137,8 +137,13 @@ object MediaCodecs {
     val h = r32(bytes, 22)
     require(r16(bytes, 28) == 24 && r32(bytes, 30) == 0, "BMP: only 24bpp uncompressed")
     require(w > 0 && h > 0, "BMP: top-down bitmaps unsupported")
+    // size math in Long: untrusted w/h near Int.MaxValue would overflow
+    // rowBytes*h and let the truncation check pass, turning the intended
+    // IllegalArgumentException into a raw ArrayIndexOutOfBounds in the loop
+    require(w <= (1 << 20) && h <= (1 << 20), s"BMP: implausible dimensions ${w}x$h")
+    require(dataOff >= 54, s"BMP: bad pixel-data offset $dataOff")
     val rowBytes = (w * 3 + 3) & ~3
-    require(bytes.length >= dataOff + rowBytes * h, "BMP: truncated raster")
+    require(bytes.length >= dataOff.toLong + rowBytes.toLong * h, "BMP: truncated raster")
     val rgb = new Array[Byte](3 * w * h)
     var y = 0
     while (y < h) {
@@ -189,6 +194,11 @@ object MediaCodecs {
     while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val size = r32(bytes, off + 4)
+      // reject negative/oversized chunk sizes before advancing: a size of -8
+      // would otherwise leave `off` unchanged (infinite loop), and huge sizes
+      // would surface as raw index errors deep in the sample loop
+      require(size >= 0 && off.toLong + 8 + size <= bytes.length,
+        s"WAV: bad chunk size $size at offset $off")
       if (id == "fmt ") {
         require(r16(bytes, off + 8) == 1, "WAV: only PCM")
         require(r16(bytes, off + 22) == 16, "WAV: only 16-bit")

@@ -54,8 +54,16 @@ object StreamingOps {
     * operator, expressed with Spark's NATIVE session windows: events gap
     * apart by more than `gap` start a new session per user; the watermark
     * lets state for closed sessions be evicted, so state size tracks OPEN
-    * sessions only. Emits one row per closed session
-    * (user_id, session start, session end, n_events).
+    * sessions only.
+    *
+    * Output-mode contract: in APPEND mode (the unbounded-production mode)
+    * each session emits exactly once, when the watermark passes its end —
+    * that is the "one row per closed session" semantics, and the eviction
+    * that bounds state rides on the same watermark (StreamingSpec asserts
+    * numRowsRemoved > 0 under a checkpoint). In COMPLETE mode Spark
+    * re-emits the full result every batch and keeps all state, so the
+    * eviction guarantee does not apply.
+    * Emits (user_id, session start, session end, n_events).
     */
   def sessionize(events: org.apache.spark.sql.DataFrame, gap: String = "30 minutes",
                  watermark: String = "1 hour"): org.apache.spark.sql.DataFrame =

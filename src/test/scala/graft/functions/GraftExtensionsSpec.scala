@@ -42,10 +42,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(fps.length == 3)
   }
 
-  test("non-literal parameters are rejected with a clear error") {
+  test("non-constant parameters are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_fingerprints(text, length(text), 48, 0) FROM ext_docs").collect()
     }
-    assert(e.getMessage.contains("literal"))
+    assert(e.getMessage.contains("constant integer"))
+  }
+
+  test("foldable-but-non-literal constants are accepted") {
+    val fps = spark.sql("SELECT sgram_fingerprints(array(1,2,3,4), 1+1, 40+8, CAST(0 AS BIGINT))")
+      .head().getSeq[Long](0)
+    assert(fps.length == 3)
+  }
+
+  test("wrong arity fails with a clean arity message, not IndexOutOfBounds") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_fingerprints(text) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("expects 4 arguments"), s"got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT float_dot(array(CAST(1 AS FLOAT)))").collect()
+    }
+    assert(e2.getMessage.contains("expects 2 arguments"), s"got: ${e2.getMessage}")
+  }
+
+  test("float_dot rejects mismatched array lengths with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT float_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(1 AS FLOAT)))").collect()
+    }
+    assert(e.getMessage.contains("lengths differ") ||
+      Option(e.getCause).exists(_.getMessage.contains("lengths differ")), s"got: ${e.getMessage}")
   }
 }

@@ -30,6 +30,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ds.length == 3 && ds.zip(frames).forall { case (a, b) => a.rgb.sameElements(b.rgb) })
   }
 
+  test("malformed payloads fail fast with IllegalArgumentException, never hang") {
+    // WAV chunk with size = -8 used to leave the chunk-walk offset unchanged
+    // (infinite loop in the executor); now it must throw promptly
+    val wav = encodeWav(Audio(8000, 1, Array.fill(64)(1.toShort)))
+    val negChunk = wav.clone()
+    // corrupt the fmt chunk size at offset 16 to -8 (LE)
+    negChunk(16) = 0xf8.toByte; negChunk(17) = 0xff.toByte
+    negChunk(18) = 0xff.toByte; negChunk(19) = 0xff.toByte
+    val e1 = intercept[IllegalArgumentException](decodeWav(negChunk))
+    assert(e1.getMessage.contains("chunk size"))
+    // oversized chunk size walks past the payload: also a clean failure
+    val bigChunk = wav.clone()
+    bigChunk(16) = 0xff.toByte; bigChunk(17) = 0xff.toByte
+    bigChunk(18) = 0xff.toByte; bigChunk(19) = 0x7f.toByte
+    intercept[IllegalArgumentException](decodeWav(bigChunk))
+
+    // BMP with huge dims used to overflow rowBytes*h in Int and pass the
+    // truncation check; now the size math is Long + dims are bounded
+    val bmp = encodeBmp(img(4, 4, 21))
+    val hugeH = bmp.clone()
+    hugeH(22) = 0xff.toByte; hugeH(23) = 0xff.toByte // h = large positive
+    hugeH(24) = 0xff.toByte; hugeH(25) = 0x7f.toByte
+    intercept[IllegalArgumentException](decodeBmp(hugeH))
+    val overflowDims = bmp.clone()
+    // w*3*h chosen to overflow Int but be > 0: w = 2^18, h = 2^13 would pass
+    // the old Int check; the 2^20 bound rejects nothing here, the Long math does
+    overflowDims(18) = 0; overflowDims(19) = 0; overflowDims(20) = 4; overflowDims(21) = 0 // w = 2^18
+    overflowDims(22) = 0; overflowDims(23) = 0x20.toByte; overflowDims(24) = 0; overflowDims(25) = 0 // h = 2^13
+    intercept[IllegalArgumentException](decodeBmp(overflowDims))
+  }
+
   test("PPM parser handles comments and multi-digit dims") {
     val i = img(123, 45, 11)
     val withComment = ("P6\n# a comment line\n123 45\n255\n").getBytes("US-ASCII") ++ i.rgb

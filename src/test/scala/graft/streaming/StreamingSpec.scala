@@ -51,6 +51,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Vector(("u1", 2L), ("u1", 3L), ("u2", 1L)))
   }
 
+  test("sessionize append mode: closed sessions emit once, watermark evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = StreamingOps.sessionize(input.toDS().toDF("user_id", "ts"),
+      gap = "30 minutes", watermark = "1 hour")
+    val query = sessions.writeStream.format("memory").queryName("sessAppend")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // batch 1: u1 session [0,50) (3 events), u2 session [5,35) (1 event)
+    input.addData(Seq(("u1", ts(0)), ("u1", ts(10)), ("u1", ts(20)), ("u2", ts(5))))
+    query.processAllAvailable()
+    // nothing can emit yet: watermark is still behind both session ends
+    assert(spark.sql("SELECT * FROM sessAppend").count() == 0)
+    // batch 2 advances max event time to 120 -> watermark becomes 60 on the
+    // NEXT batch; batch 3 (event at 125) runs with watermark 60 > both ends,
+    // so [0,50) and [5,35) close, emit once, and their state is evicted
+    input.addData(Seq(("u1", ts(120))))
+    query.processAllAvailable()
+    input.addData(Seq(("u1", ts(125))))
+    query.processAllAvailable()
+    val emitted = spark.sql("SELECT user_id, n_events FROM sessAppend")
+      .as[(String, Long)].collect().toVector.sorted
+    assert(emitted == Vector(("u1", 3L), ("u2", 1L)))
+    // eviction evidence: the session-window state operator reported removals
+    val removed = query.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, s"expected watermark state eviction, recentProgress removed=$removed")
+    query.stop()
+  }
+
+  test("second-occurrence filter survives a checkpoint stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cf-ckpt").toString
+    val input = MemoryStream[Long]
+    val rng = new scala.util.Random(17)
+    val all = Vector.fill(2000)(rng.nextInt(400).toLong + 1)
+    val (phase1, phase2) = all.splitAt(1000)
+
+    // memory sink can't recover from a checkpoint; foreachBatch can — each
+    // phase appends its emitted fingerprints into its own sink set
+    def run(data: Vector[Long]): Set[Long] = {
+      val sink = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val result = StreamingOps.secondOccurrences(input.toDS(), nShards = 4, qBits = 7)
+      val query = result.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+          batch.collect().foreach(sink.add)
+        }
+        .start()
+      input.addData(data)
+      query.processAllAvailable()
+      query.stop()
+      import scala.jdk.CollectionConverters._
+      sink.asScala.toSet
+    }
+    // phase 1, stop; phase 2 resumes the SAME checkpoint (kryo'd BQF state
+    // reloads from the state store) — the union must equal the batch twin
+    val got1 = run(phase1)
+    val got2 = run(phase2)
+    val batchAnswer = StreamingOps.secondOccurrencesBatch(spark.createDataset(all)).collect().toSet
+    assert((got1 ++ got2) == batchAnswer,
+      s"restart emit-set mismatch: ${(got1 ++ got2).size} vs batch ${batchAnswer.size}")
+    // no fingerprint emitted in both phases (state survived the restart)
+    assert(got1.intersect(got2).isEmpty, "state lost across restart: duplicate emits")
+  }
+
   test("windowed streaming aggregation with watermark over events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
