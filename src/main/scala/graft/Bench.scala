@@ -9,9 +9,18 @@ import org.apache.spark.sql.functions._
 
 /** Per-round benchmark: headline sketch-build/query throughput over the
   * deterministic tokens table, the full operator catalog at the bench scale
-  * dir, and N-vs-4N-core scaling evidence (local[8] vs local[32] stands in
-  * for the two cluster sizes — no real cluster in this sandbox; see
-  * BASELINE.md). Prints ONE JSON line.
+  * dir, a reference-scale false-positive audit, and N-vs-4N-core scaling
+  * evidence (local[8] vs local[32] stands in for the two cluster sizes — no
+  * real cluster in this sandbox; see BASELINE.md). Prints ONE JSON line.
+  *
+  * Every phase records its wall seconds AND the harness JVM's GC-time delta
+  * (`phase_gc_ms` in the JSON), so a slow artifact is attributable from the
+  * artifact alone: high GC delta = collector-bound (engine/heap problem),
+  * low GC delta + slow wall = host steal (this microVM's documented 2-2.5x
+  * window noise).
+  *
+  * Phase selection: SPARK_GRAFT_PHASES, comma list of
+  * build,probe,seq,catalog,fp,scaling (default: all).
   */
 object Bench {
   private def session(cpus: Int): SparkSession = {
@@ -32,6 +41,14 @@ object Bench {
     s
   }
 
+  /** Total GC milliseconds across this JVM's collectors. */
+  private def gcMs(): Long = {
+    val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+    var t = 0L
+    while (it.hasNext) t += it.next().getCollectionTime
+    t
+  }
+
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -42,8 +59,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "200000").toLong
-    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "128").toInt
+    val phases = sys.env.getOrElse("SPARK_GRAFT_PHASES",
+      "build,probe,seq,catalog,fp,scaling").split(",").map(_.trim).toSet
+    // back-compat: SPARK_GRAFT_SCALING=0 still disables the scaling phase
+    val doScaling = phases("scaling") && sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // forked measurement JVMs get their own fixed heap: -Xms=-Xmx+pretouch
     // keeps GC behavior identical across core counts, and a moderate size
     // keeps the (untimed) pretouch cheap — first-touch allocation on this
@@ -61,67 +81,149 @@ object Bench {
     }.getOrElse("8g")
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val phaseGc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
     // 1. headline: sharded BQF index build over the tokens table, in a fresh
     // forked JVM (the same job at every parallelism level: FIXED shard
     // count; isolation keeps heap/JIT state from skewing the comparison)
     // host timing noise is 2-4x between runs (time-shared microVM): take
     // the min over trials as the capability estimate
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
-    val headline = (1 to trials).map(_ => BuildJob.forked(cpus, benchRows, nBuckets, heap))
-    val buildSec = headline.map(_._1).min
-    val kgrams = headline.head._2
-    results += "build_tokens_bqf" -> buildSec
+    var kgrams = 0L
+    var buildSec = 0.0
+    if (phases("build")) {
+      val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+      val headline = (1 to trials).map { i =>
+        val r = BuildJob.forked(cpus, benchRows, nBuckets, heap)
+        System.err.println(f"[bench] build trial $i: ${r._1}%.2f s (forked-JVM gc ${r._3} ms)")
+        r
+      }
+      val best = headline.minBy(_._1)
+      buildSec = best._1
+      kgrams = headline.head._2
+      results += "build_tokens_bqf" -> buildSec
+      // GC of the MIN-time trial: the capability estimate's own collector cost
+      phaseGc += "build_tokens_bqf" -> best._3
+    }
 
     val spark = session(cpus)
 
-    // 2. point-query throughput: 3M+ abundance probes through the broadcast sketch
+    // shared probe sketch for the probe/seq/fp phases
     val queryParams = BqfParams(qBits = 16, countBits = 8, hashBits = 48, kTokens = 8, zTokens = 2)
-    val queryDf = TokensTable.dataframe(spark, 20000, partitions = cpus)
-    val qfps = sgram_fingerprints(col("tokens"), queryParams.sTokens, queryParams.hashBits, queryParams.seed)
-    val sketchBytes = BqfPipeline.buildGlobal(queryDf, qfps, queryParams)
-    val bq = new BqfQuery(spark, sketchBytes)
-    val (nProbes, probeSec) = time {
-      val n = queryDf.select(explode(qfps).as("fp"))
-        .select(bq.abundanceOf(col("fp")).as("a")).filter(col("a") > 0).count()
-      n
+    lazy val queryDf = TokensTable.dataframe(spark, 20000, partitions = cpus)
+    lazy val qfps = sgram_fingerprints(col("tokens"), queryParams.sTokens, queryParams.hashBits, queryParams.seed)
+    lazy val bq = new BqfQuery(spark, BqfPipeline.buildGlobal(queryDf, qfps, queryParams))
+
+    // 2. point-query throughput: 3M+ abundance probes through the broadcast
+    // sketch. Min over trials, same policy as the build phase (trial 1 also
+    // pays codegen/JIT warm-up); per-trial wall + GC delta on stderr.
+    var nProbes = 0L
+    var probeSec = 0.0
+    if (phases("probe")) {
+      val probeTrials = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIALS", "3").toInt
+      bq // force the (untimed) sketch build before the first trial
+      val g0 = gcMs()
+      val trials = (1 to probeTrials).map { i =>
+        val gt0 = gcMs()
+        val (n, sec) = time {
+          queryDf.select(explode(qfps).as("fp"))
+            .select(bq.abundanceOf(col("fp")).as("a")).filter(col("a") > 0).count()
+        }
+        System.err.println(f"[bench] probe trial $i: $sec%.2f s (gc ${gcMs() - gt0} ms, ${(n / sec / 1e6)}%.2f M/s)")
+        (n, sec)
+      }
+      nProbes = trials.head._1
+      probeSec = trials.map(_._2).min
+      results += "point_queries" -> probeSec
+      phaseGc += "point_queries" -> (gcMs() - g0)
     }
-    results += "point_queries" -> probeSec
 
     // 3. Fimpera sequence-stats throughput
-    val (_, seqSec) = time {
-      queryDf.select(bq.sequenceStatsOf(col("tokens")).as("st"))
-        .filter(col("st.presenceRatio") > 0).count()
+    if (phases("seq")) {
+      val g0 = gcMs()
+      val (_, seqSec) = time {
+        queryDf.select(bq.sequenceStatsOf(col("tokens")).as("st"))
+          .filter(col("st.presenceRatio") > 0).count()
+      }
+      results += "sequence_stats" -> seqSec
+      phaseGc += "sequence_stats" -> (gcMs() - g0)
     }
-    results += "sequence_stats" -> seqSec
 
     // 4. operator catalog at the bench scale dir
-    val catalog = Seq(
-      "q01_bqf_abundance", "q02_bqf_filter_ge2", "q03_bqf_membership",
-      "q04_dedup_exact", "q05_ngram_jaccard", "q06_minhash_lsh", "q07_simhash",
-      "q08_text_quality", "q09_token_counts", "q10_langid", "q11_doc_fingerprint",
-      "q12_lang_source_stats", "q13_pricing_summary", "q14_top_revenue",
-      "q15_sessionize", "q16_json_props", "q17_embedding_topk", "q18_embedding_lsh",
-      "q19_tokens_per_source", "q20_tokens_seq_stats", "q21_sketch_compare",
-      "q22_quantiles", "q23_enumerate_index", "q24_embedding_ivf",
-      "q25_bqf_oom_abundance", "q26_cf_second_emit", "q27_embedding_neardup")
-    catalog.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      // a failed query is recorded as -1 (excluded from the total), not as
-      // its elapsed-until-failure time
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      results += name -> sec
-      // per-query progress on stderr as it completes: a killed run still
-      // leaves every finished timing in the log (the final JSON line is
-      // all-or-nothing)
-      System.err.println(f"[bench] $name%-22s ${sec}%8.2f s")
+    if (phases("catalog")) {
+      val catalog = Seq(
+        "q01_bqf_abundance", "q02_bqf_filter_ge2", "q03_bqf_membership",
+        "q04_dedup_exact", "q05_ngram_jaccard", "q06_minhash_lsh", "q07_simhash",
+        "q08_text_quality", "q09_token_counts", "q10_langid", "q11_doc_fingerprint",
+        "q12_lang_source_stats", "q13_pricing_summary", "q14_top_revenue",
+        "q15_sessionize", "q16_json_props", "q17_embedding_topk", "q18_embedding_lsh",
+        "q19_tokens_per_source", "q20_tokens_seq_stats", "q21_sketch_compare",
+        "q22_quantiles", "q23_enumerate_index", "q24_embedding_ivf",
+        "q25_bqf_oom_abundance", "q26_cf_second_emit", "q27_embedding_neardup",
+        "q28_bqf_remove")
+      val gCat0 = gcMs()
+      catalog.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val g0 = gcMs()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // a failed query is recorded as -1 (excluded from the total), not as
+        // its elapsed-until-failure time
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        results += name -> sec
+        // per-query progress on stderr as it completes: a killed run still
+        // leaves every finished timing in the log (the final JSON line is
+        // all-or-nothing)
+        System.err.println(f"[bench] $name%-22s ${sec}%8.2f s (gc ${gcMs() - g0} ms)")
+      }
+      phaseGc += "catalog" -> (gcMs() - gCat0)
     }
 
-    // 5. scaling evidence (north rule: N -> 4N at >= 0.8). Two series, both
+    // 5. false-positive audit at reference scale (the reference's harness
+    // probes 1e9 never-inserted k-mers, /root/reference/test/quicktests.cpp
+    // :304-338). Probes are hashes of integers — a hash family independent
+    // of the inserted k-gram fingerprints, so every reported hit is an
+    // aliasing false positive. Two sketches:
+    //  - the bench sketch (hashBits=48): the operating point; expected FP
+    //    count is ~distinct/2^48 per probe (near zero at 1e8)
+    //  - a hashBits=32 stress sketch: measurable FP rate, so the 2^-r
+    //    aliasing model is testable with real statistics
+    // The bound per sketch is exp + 6*sqrt(exp) + 10 (Poisson tail: the
+    // probability of exceeding it is < 1e-8), where
+    // exp = probes * distinct / 2^hashBits.
+    var fpJson = ""
+    if (phases("fp")) {
+      val fpProbes = sys.env.getOrElse("SPARK_GRAFT_FP_PROBES", "100000000").toLong
+      def audit(hashBits: Int, q: BqfQuery): (Long, Long, Long, Double) = {
+        val mask = (1L << hashBits) - 1
+        val distinct = q.filter.distinctCount
+        val (falsePos, sec) = time {
+          spark.range(0, fpProbes, 1, cpus)
+            .select(q.containsOf(xxhash64(col("id")).bitwiseAND(mask)).as("hit"))
+            .filter(col("hit")).count()
+        }
+        val exp = fpProbes.toDouble * distinct / math.pow(2.0, hashBits)
+        val bound = (exp + 6 * math.sqrt(exp) + 10).ceil.toLong
+        System.err.println(f"[bench] fp audit hashBits=$hashBits: $falsePos FPs / $fpProbes probes " +
+          f"(exp $exp%.1f, bound $bound, $sec%.2f s, ${fpProbes / sec / 1e6}%.1f M probes/s)")
+        (falsePos, bound, distinct, sec)
+      }
+      val g0 = gcMs()
+      val (fp48, bound48, distinct48, sec48) = audit(48, bq)
+      // stress sketch: same corpus, fingerprints masked to 32 bits
+      val stressParams = queryParams.copy(hashBits = 32)
+      val sfps = sgram_fingerprints(col("tokens"), stressParams.sTokens, stressParams.hashBits, stressParams.seed)
+      val bq32 = new BqfQuery(spark, BqfPipeline.buildGlobal(queryDf, sfps, stressParams))
+      val (fp32, bound32, distinct32, sec32) = audit(32, bq32)
+      phaseGc += "fp_audit" -> (gcMs() - g0)
+      results += "fp_audit" -> (sec48 + sec32)
+      fpJson = s""","fp_audit":{"negative_probes":$fpProbes,""" +
+        s""""h48":{"false_positives":$fp48,"fp_bound":$bound48,"distinct":$distinct48,"sec":$sec48},""" +
+        s""""h32":{"false_positives":$fp32,"fp_bound":$bound32,"distinct":$distinct32,"sec":$sec32}}"""
+    }
+
+    // 6. scaling evidence (north rule: N -> 4N at >= 0.8). Two series, both
     // min-of-trials with trials INTERLEAVED across levels (this host's
     // timing varies ~2x between identical runs — interleaving samples every
     // level across the same noise windows), each measurement a fresh
@@ -170,10 +272,10 @@ object Bench {
 
     val total = results.values.filter(_ >= 0).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val kgramsPerSec = (kgrams / buildSec).toLong
-    // self-diagnosing artifact: the harness JVM's actual heap + collector
-    // ride in the JSON, so a GC-roulette anomaly (round-2's 368 s catalog
-    // under 90g default-G1) is attributable from the artifact alone
+    // self-diagnosing artifact: the harness JVM's actual heap + collector +
+    // per-phase GC-time deltas ride in the JSON, so a GC-roulette anomaly
+    // (round-2's 368 s catalog under 90g default-G1) is attributable from
+    // the artifact alone
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val gcNames = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     val gc = {
@@ -181,12 +283,16 @@ object Bench {
       while (it.hasNext) { if (b.nonEmpty) b += '+'; b ++= it.next().getName.replace(' ', '_') }
       b.toString
     }
+    val gcJson = phaseGc.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val buildJson = if (phases("build"))
+      s""","kgrams":$kgrams,"bqf_build_kgrams_per_sec":${(kgrams / buildSec).toLong}""" else ""
+    val probeJson = if (phases("probe"))
+      s""","point_probes":$nProbes,"point_queries_per_sec":${(nProbes / probeSec).toLong}""" else ""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","cpus":$cpus,"bench_rows":$benchRows,"kgrams":$kgrams""" +
-      s""","bqf_build_kgrams_per_sec":$kgramsPerSec,"point_probes":$nProbes""" +
-      s""","point_queries_per_sec":${(nProbes / probeSec).toLong}""" +
-      s""","harness_heap_mb":$heapMb,"harness_gc":"$gc"$scalingJson}""")
+      s""","cpus":$cpus,"bench_rows":$benchRows$buildJson$probeJson""" +
+      s""","harness_heap_mb":$heapMb,"harness_gc":"$gc","phase_gc_ms":$gcJson""" +
+      s"""$fpJson$scalingJson}""")
     spark.stop()
   }
 }

@@ -560,6 +560,47 @@ object Queries {
       .select("a_id", "b_id", "sim")
   }
 
+  /** Deletion end to end (ref bqf_ec.cpp:30-146 counted remove / counter
+    * sub; the reference's own test suite is remove-heavy,
+    * cqf_test.cpp:311-501): build the counted sketch over every shingle
+    * occurrence, REMOVE the deterministic multiset of occurrences coming
+    * from every 5th document, then query every distinct shingle's remaining
+    * abundance — including fully-removed shingles, whose slots are
+    * STRUCTURALLY deleted (occupied-bit/runend repair, back-shifts), so the
+    * probe must come back 0, not stale.
+    *
+    * Distributed shape: fingerprints route to buckets by their high bits
+    * (the same partitioning the sharded index uses), each task owns its
+    * bucket's filter — adds, removes, and probes all local to the task, no
+    * driver funnel. At 100 TB this is the per-shard deletion stream applied
+    * to a persisted shard, exactly how reshardMerge lays the index out.
+    */
+  def q28BqfRemove(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = TextParams
+    val nBuckets = 32
+    val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val perShingle = shingles(spark, dir, ShingleN)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("doc_id") % 5 === 0, 1)).as("removed"))
+      .withColumn("fp", fpOfShingle(col("shingle")))
+    perShingle.select(col("shingle"), col("fp"), col("total"), col("removed"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey { case (_, fp, _, _) => fp >>> shift }
+      .flatMapGroups { (_, it) =>
+        val rows = it.toVector
+        val f = params.fresh()
+        // insert everything, then remove the deletion multiset, then probe:
+        // the reference harness's own order (insert-all / remove-subset /
+        // query-all)
+        rows.foreach { case (_, fp, total, _) => f.add(fp, total) }
+        rows.foreach { case (_, fp, _, removed) => if (removed > 0) f.remove(fp, removed) }
+        rows.iterator.map { case (sh, fp, _, _) => (sh, f.abundance(fp)) }
+      }
+      .toDF("shingle", "abund_after")
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -592,6 +633,7 @@ object Queries {
     "q25_bqf_oom_abundance" -> (q25OomAbundance _),
     "q26_cf_second_emit" -> (q26CfSecondEmit _),
     "q27_embedding_neardup" -> (q27EmbeddingNearDup _),
+    "q28_bqf_remove" -> (q28BqfRemove _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -732,6 +774,16 @@ object Queries {
          |       list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) / (a.nrm * b.nrm) AS sim
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    // deletion replay: remaining = GREATEST(total - removed, 0) per shingle
+    // (ref bqf_ec.cpp:30-146 semantics; removed <= total here so GREATEST is
+    // the documented saturation clause, and fully-removed shingles must
+    // report exactly 0 after structural slot deletion)
+    "q28_bqf_remove" ->
+      s"""SELECT shingle,
+         |       GREATEST(CAST(count(*) AS BIGINT)
+         |                - CAST(count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT),
+         |                CAST(0 AS BIGINT)) AS abund_after
+         |FROM ($sh8) GROUP BY shingle""".stripMargin,
     // enumerate is oracle-checked through the abundance histogram, which is
     // invariant under the shingle<->fingerprint bijection
     "q23_enumerate_index" ->
