@@ -303,30 +303,51 @@ object Queries {
       .select("qid", "rank", "nid")
   }
 
-  /** LSH-bucketed approximate cosine neighbors: random-hyperplane signatures
-    * (16 bits), candidates share a signature; the scale path for q17.
+  /** Banded sign-LSH approximate top-3 neighbors — the LSH scale path for
+    * q17, same output shape (qid, rank, nid) so recall is directly
+    * comparable (RecallAudit / BENCH/RECALL.md).
+    *
+    * Round-3's single 16-bit signature required ALL 16 hyperplane signs to
+    * agree, and the committed recall measurement exposed that as recall
+    * 0.0 on this corpus: true top-3 neighbors here sit at cosine ~0.34
+    * (p_agree per bit ~0.61), so one 16-bit table collides with probability
+    * ~0.61^16 ~ 4e-4. The standard fix is banding (q06's shape): 64
+    * seed-derived hyperplanes split into 16 bands x 4 bits; a candidate
+    * shares ANY band bucket (per-edge recall 1-(1-p^4)^16 ~ 0.9 at p=0.61),
+    * then candidates are re-ranked by exact cosine and cut to top-3.
+    * The candidate fraction this buys at a weak similarity gap is the
+    * honest cost and is measured in RECALL.md — on data this close to
+    * orthogonal, IVF (q24) is the better scale path, which is exactly what
+    * the committed numbers now show.
+    *
+    * Scale shape: probes (tiny) broadcast onto the banded index; the corpus
+    * never self-joins; re-rank touches only candidates.
     */
   def q18EmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val T = 16
+    val b = 4
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    // The 16 hyperplanes are constants across rows, so they are derived ONCE
-    // driver-side (same xxhash64 recipe as round 1, evaluated on one row)
-    // and inlined as literal arrays: per-row work drops from 16 x dim hash
-    // evaluations to 16 fused dot products (VERDICT item 3).
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val planeRow = spark.range(1).select(
-      (0 until 16).map(b => expr(s"transform(sequence(0, ${dim - 1}), i -> " +
-        s"CAST(xxhash64($b * 1000003 + i) % 1000 AS DOUBLE) / 500.0 - 1.0)").as(s"p$b")): _*).head()
-    val sigCol = (0 until 16).map { b =>
-      val h = typedLit(planeRow.getSeq[Double](b))
-      val dot = aggregate(
-        zip_with(col("embedding"), h, (x, hv) => x.cast("double") * hv),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val sigs = emb.select(col("vec_id"), sigCol.as("sig"))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("a.sig").as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"),
+        hyperplane_sig(col("embedding"), T * b, 0L).as("sig"))
+    // (vec_id, band, bucket) index: band t's bucket is bits [t*b, (t+1)*b)
+    val bands = emb.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${T - 1}), t -> named_struct(" +
+        s"'band', t, 'bucket', shiftright(sig, t * $b) & ${(1 << b) - 1}))")).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val probes = bands.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "qid")
+    val candidates = broadcast(probes).join(bands, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid")).distinct()
+    // exact re-rank over candidates only
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val n = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
+    candidates.join(q, "qid").join(n, "nid")
+      .withColumn("sim", float_dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "nid")
   }
 
   /** Shared params for the tokens-table queries: s = k - z = 6-token

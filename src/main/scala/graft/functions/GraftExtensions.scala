@@ -81,7 +81,11 @@ object GraftExtensions {
     ("float_dot",
       "float_dot(a, b) — double-precision dot product of two array<float> columns",
       (es: Seq[Expression]) => { arity("float_dot", es, 2)
-        FloatDotExpr(es.head, es(1)) }))
+        FloatDotExpr(es.head, es(1)) }),
+    ("hyperplane_sig",
+      "hyperplane_sig(embedding, planes, seed) — signed-random-projection LSH signature",
+      (es: Seq[Expression]) => { arity("hyperplane_sig", es, 3)
+        HyperplaneSigExpr(es.head, lit(es(1), "planes").toInt, lit(es(2), "seed")) }))
 
   /** Register every graft function into a live session's registry. */
   def registerAll(spark: SparkSession): Unit =

@@ -68,6 +68,19 @@ case class DocFingerprintExpr(child: Expression, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+case class HyperplaneSigExpr(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes >= 1 && planes <= 64, s"planes must be in [1, 64], got $planes")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    KGramKernels.hyperplaneSig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KGramKernels.hyperplaneSig($c, $planes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 case class FloatDotExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] =
@@ -111,4 +124,8 @@ object GraftFunctions {
   /** Codegen double-precision dot product of two array<float> columns. */
   def float_dot(a: Column, b: Column): Column =
     col(FloatDotExpr(expr(a), expr(b)))
+
+  /** Signed-random-projection signature (seed-derived hyperplanes). */
+  def hyperplane_sig(embedding: Column, planes: Int, seed: Long = 0L): Column =
+    col(HyperplaneSigExpr(expr(embedding), planes, seed))
 }

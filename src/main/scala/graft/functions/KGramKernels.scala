@@ -166,6 +166,37 @@ object KGramKernels {
     s
   }
 
+  /** Signed-random-projection signature: bit p of the result is the sign of
+    * the dot product between the embedding and pseudo-random hyperplane p,
+    * where plane component (p, i) is derived from splitmix64(seed + p *
+    * 1000003 + i) — uniform in [-1, 1). Planes are never materialized: any
+    * executor reproduces them from the seed alone, which is also the
+    * 100 TB answer (no plane matrix to broadcast or persist). `planes` <= 64.
+    *
+    * Collision probability per bit for vectors at angle theta is the
+    * classic 1 - theta/pi (Charikar 2002, public result), so banded
+    * grouping of the bits gives tunable LSH tables.
+    */
+  def hyperplaneSig(a: ArrayData, planes: Int, seed: Long): Long = {
+    val x = a.toFloatArray()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val base = seed + p.toLong * 1000003L
+      var dot = 0.0
+      var i = 0
+      while (i < x.length) {
+        // (h >>> 11) in [0, 2^53); * 2^-52 in [0, 2); - 1 in [-1, 1)
+        val v = (Fingerprint.splitmix64(base + i) >>> 11) * 2.220446049250313e-16 - 1.0
+        dot += x(i).toDouble * v
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** Rolling polynomial fingerprint of a whole document (mod 2^61-1). */
   def docFingerprint(text: UTF8String, seed: Long): Long = {
     val bytes = text.getBytes

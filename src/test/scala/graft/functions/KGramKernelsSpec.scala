@@ -74,6 +74,30 @@ class KGramKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplaneSig: deterministic, negation-antipodal, angle-sensitive") {
+    val rnd = new scala.util.Random(23)
+    val v = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val a = UnsafeArrayData.fromPrimitiveArray(v)
+    val s1 = KGramKernels.hyperplaneSig(a, 64, 0L)
+    val s2 = KGramKernels.hyperplaneSig(UnsafeArrayData.fromPrimitiveArray(v.clone()), 64, 0L)
+    assert(s1 == s2, "deterministic")
+    assert(KGramKernels.hyperplaneSig(a, 64, 1L) != s1, "seed-dependent")
+    // -v flips every sign (dot products are nonzero w.p. 1 for random floats)
+    val neg = UnsafeArrayData.fromPrimitiveArray(v.map(x => -x))
+    assert((KGramKernels.hyperplaneSig(neg, 64, 0L) ^ s1) == -1L, "antipodal")
+    // small perturbation flips few bits; an independent vector flips ~half
+    val nearV = v.map(x => x + 0.01f * (rnd.nextFloat() - 0.5f))
+    val near = java.lang.Long.bitCount(
+      KGramKernels.hyperplaneSig(UnsafeArrayData.fromPrimitiveArray(nearV), 64, 0L) ^ s1)
+    val otherV = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val far = java.lang.Long.bitCount(
+      KGramKernels.hyperplaneSig(UnsafeArrayData.fromPrimitiveArray(otherV), 64, 0L) ^ s1)
+    assert(near < 8, s"near vector flipped $near/64 bits")
+    assert(far > 16, s"independent vector flipped only $far/64 bits")
+    // planes > 64 rejected at construction
+    intercept[IllegalArgumentException](HyperplaneSigExpr(null, 65, 0L))
+  }
+
   test("rolling minhashSignature == substring recompute") {
     def ref(str: String, n: Int, k: Int, seed: Long): Array[Long] = {
       val sig = Array.fill(k)(Long.MaxValue)
