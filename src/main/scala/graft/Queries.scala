@@ -545,15 +545,28 @@ object Queries {
     import spark.implicits._
     val cfParams = BqfParams(qBits = 15, countBits = 1, hashBits = 48,
       kTokens = 8, zTokens = 0, seed = 0L)
-    shingles(spark, dir, ShingleN)
-      .select(col("shingle"), fpOfShingle(col("shingle")).as("fp"))
+    // The occurrence shuffle carries ONLY the 8-byte fingerprint (round 3
+    // carried (shingle, fp) — the string rode along solely so the emit
+    // could name it, multiplying the exchange width by the shingle length
+    // PER OCCURRENCE). The emitted fingerprints are then named by joining
+    // the distinct-shingle dictionary: its exchange moves one (fp, shingle)
+    // row per distinct shingle per input partition (map-side partial
+    // first()), which on duplicate-heavy corpora is far below the
+    // occurrence count — the shape that holds at 100 TB.
+    val occurrences = shingles(spark, dir, ShingleN)
+      .select(fpOfShingle(col("shingle")).as("fp"))
+    val emitted = occurrences
       .repartition(col("fp"))
-      .as[(String, Long)]
+      .as[Long]
       .mapPartitions { it =>
         val f = cfParams.fresh()
-        it.collect { case (shingle, fp) if f.addReturningSecond(fp) => shingle }
+        it.filter(fp => f.addReturningSecond(fp))
       }
-      .toDF("shingle")
+      .toDF("fp")
+    val dict = shingles(spark, dir, ShingleN)
+      .select(fpOfShingle(col("shingle")).as("fp"), col("shingle"))
+      .groupBy("fp").agg(first(col("shingle")).as("shingle"))
+    emitted.join(dict, "fp").select("shingle")
   }
 
   /** Embedding-cosine near-duplicate detection — the dedup flavor of the
