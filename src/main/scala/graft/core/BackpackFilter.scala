@@ -711,6 +711,20 @@ final class BackpackFilter(
       if (re == endSlot) {
         // isolated run: fix metadata manually
         if ((quot & 63L) == 0) dropOffset(quot >>> 6)
+        // Every block boundary crossed in (quot, re] has its offset pointing
+        // at THIS run's end (the cluster is contiguous, so the covering
+        // runend after removal is re-1): decrement each, exactly as the
+        // shifting path does. The reference misses this walk
+        // (rsqf.cpp:355-361 decrements only at shift 0) and silently
+        // corrupts block offsets when an isolated run sits in a later block
+        // than its quotient — found by the round-4 churn differential,
+        // fixed here rather than replicated (SURVEY §7.4).
+        var b = quot >>> 6
+        val reBlock = re >>> 6
+        while (b != reBlock) {
+          b = nextBlock(b)
+          dropOffset(b)
+        }
         setRunBit(endSlot >>> 6, (endSlot & 63L).toInt, 0L)
       } else {
         shiftRunendsForDelete(quot, pos, endSlot)
@@ -754,6 +768,30 @@ final class BackpackFilter(
       }
       block += 1
     }
+  }
+
+  /** Diagnostic dump of block metadata and slot contents — debugging aid
+    * for layout investigations (offsets, occupied/runend bitmaps LSB-first,
+    * nonzero slots as idx:rem+count). Not used on any hot path.
+    */
+  def debugDump(fromBlock: Long = 0L, nBlocksMax: Long = 64L): String = {
+    val sb = new StringBuilder
+    sb ++= s"qBits=$qBits countBits=$countBits hashBits=$hashBits nDistinct=$nDistinct blocks=$numBlocks\n"
+    def bits(w: Long): String = (0 until 64).map(i => if (((w >>> i) & 1L) != 0) '1' else '.').mkString
+    var b = fromBlock
+    val end = math.min(numBlocks, fromBlock + nBlocksMax)
+    while (b < end) {
+      sb ++= f"block $b%3d offset=${offsetAt(b)}%3d\n  occ=${bits(occWordAt(b))}\n  run=${bits(runWordAt(b))}\n  slots:"
+      var i = 0
+      while (i < 64) {
+        val sv = slotValue((b << 6) + i)
+        if (sv != 0) sb ++= s" $i:r${sv >>> countBits}c${sv & countMask}"
+        i += 1
+      }
+      sb += '\n'
+      b += 1
+    }
+    sb.toString
   }
 
   /** All (fingerprint, decoded abundance) pairs currently stored. */

@@ -114,6 +114,47 @@ class BackpackFilterSpec extends AnyFunSuite {
     assert(f2.abundance((101L << 7) | 100L) == 0L)
   }
 
+  test("interleaved add/remove churn differential vs multiset oracle") {
+    // the reference suite's remove-heavy pattern (cqf_test.cpp:311-501)
+    // driven harder: thousands of interleaved adds/removes over a small
+    // quotient space, so deletions constantly hit shared runs, block
+    // boundaries, toric wraps, and the auto-resize interplay; the filter
+    // must track an exact multiset oracle at every checkpoint
+    for (qBits <- Seq(7, 8)) {
+      val rnd = new Random(41 + qBits)
+      val hashBits = qBits + 9
+      val f = BackpackFilter(qBits, countBits = 8, hashBits = hashBits, mode = CountMode.Exact)
+      val oracle = mutable.Map.empty[Long, Long]
+      val cap = 255L
+      val universe = Array.fill(300)(rnd.nextLong() & ((1L << hashBits) - 1))
+      for (step <- 1 to 6000) {
+        val fp = universe(rnd.nextInt(universe.length))
+        if (rnd.nextInt(3) < 2) {
+          val c = rnd.nextInt(4) + 1L
+          f.add(fp, c)
+          oracle(fp) = math.min(oracle.getOrElse(fp, 0L) + c, cap)
+        } else {
+          val c = rnd.nextInt(6) + 1L
+          val cur = oracle.getOrElse(fp, 0L)
+          val ok = f.remove(fp, c)
+          if (cur == 0L) assert(!ok, s"remove of absent $fp returned true (step $step)")
+          else {
+            assert(ok, s"remove of present $fp returned false (step $step)")
+            if (c >= cur) oracle.remove(fp) else oracle(fp) = cur - c
+          }
+        }
+        if (step % 500 == 0) {
+          universe.foreach(u => assert(f.abundance(u) == oracle.getOrElse(u, 0L),
+            s"abundance($u) diverged at step $step (q=$qBits)"))
+          assert(f.distinctCount == oracle.size.toLong, s"distinctCount at step $step")
+        }
+      }
+      // final enumerate must equal the oracle exactly
+      val enum = f.enumerate()
+      assert(enum == oracle.toMap, s"final enumerate diverged (q=$qBits)")
+    }
+  }
+
   test("counter saturation at 2^c - 1 (exact codec)") {
     val f = BackpackFilter(qBits = 7, countBits = 5, hashBits = 20)
     val fp = 0x3ffeeL & Bits.maskRight(20)
