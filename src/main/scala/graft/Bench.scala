@@ -159,7 +159,7 @@ object Bench {
         "q19_tokens_per_source", "q20_tokens_seq_stats", "q21_sketch_compare",
         "q22_quantiles", "q23_enumerate_index", "q24_embedding_ivf",
         "q25_bqf_oom_abundance", "q26_cf_second_emit", "q27_embedding_neardup",
-        "q28_bqf_remove")
+        "q28_bqf_remove", "q29_sketch_persist")
       val gCat0 = gcMs()
       catalog.foreach { name =>
         val fn = SparkEntry.queries(name)
@@ -243,7 +243,10 @@ object Bench {
       // 600k docs (~93M k-grams) keeps each level compute-dominated while
       // holding the whole series under ~5 min in typical host windows
       val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "600000").toLong
-      val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "1,4,16")
+      // 1,2,4,8,16 gives THREE independent N->4N pairs (1->4, 2->8, 4->16);
+      // 2->8 stays inside the host's ~8-10 sustained-core budget, so it is
+      // the pair least distorted by the time-shared ceiling
+      val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "1,2,4,8,16")
         .split(",").map(_.trim.toInt).distinct.sorted
       val coreTrials = sys.env.getOrElse("SPARK_GRAFT_CORE_TRIALS", "3").toInt
       val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "4").toInt
@@ -260,14 +263,21 @@ object Bench {
 
       def lvlJson(m: Map[Int, Double]) =
         levels.map(c => "\"" + c + "\":" + m(c)).mkString("{", ",", "}")
-      def effJson(m: Map[Int, Double]) = levels.sliding(2).collect { case Array(c1, c2) =>
-        "\"" + c1 + "->" + c2 + "\":" + ((m(c1) / m(c2)) / (c2.toDouble / c1))
-      }.mkString("{", ",", "}")
+      // "efficiency" = the north rule's N->4N pairs (every (c, 4c) both
+      // measured); "efficiency_steps" = consecutive-level pairs for the curve
+      def pairJson(m: Map[Int, Double], pairs: Seq[(Int, Int)]) =
+        pairs.map { case (c1, c2) =>
+          "\"" + c1 + "->" + c2 + "\":" + ((m(c1) / m(c2)) / (c2.toDouble / c1))
+        }.mkString("{", ",", "}")
+      val quadPairs = levels.filter(c => levels.contains(c * 4)).map(c => c -> c * 4).toSeq
+      val stepPairs = levels.sliding(2).collect { case Array(c1, c2) => c1 -> c2 }.toSeq
       val tputJson = levels.map(c => "\"" + c + "\":" + (scaleKgrams / e2e(c)).toLong)
         .mkString("{", ",", "}")
       scalingJson = s""","scaling":{"rows":$scaleRows,"levels":${lvlJson(e2e)},""" +
-        s""""kgrams_per_sec":$tputJson,"efficiency":${effJson(e2e)},""" +
-        s""""core_levels":${lvlJson(core)},"core_efficiency":${effJson(core)}}"""
+        s""""kgrams_per_sec":$tputJson,"efficiency":${pairJson(e2e, quadPairs)},""" +
+        s""""efficiency_steps":${pairJson(e2e, stepPairs)},""" +
+        s""""core_levels":${lvlJson(core)},"core_efficiency":${pairJson(core, quadPairs)},""" +
+        s""""core_efficiency_steps":${pairJson(core, stepPairs)}}"""
     }
 
     val total = results.values.filter(_ >= 0).sum

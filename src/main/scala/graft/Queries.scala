@@ -635,6 +635,24 @@ object Queries {
       .toDF("shingle", "abund_after")
   }
 
+  /** Sketch persistence end to end (ref save_on_disk/load_from_disk,
+    * abstract_bqf.cpp:512-529 / bqf_ec.cpp:156-178): the built text sketch
+    * is saved to a file, loaded back in a fresh deserialization, and every
+    * distinct shingle's abundance is answered THROUGH THE LOADED COPY.
+    * Results must be identical to q01's direct-build answers, so the q01
+    * oracle SQL checks the whole save → load → broadcast → query chain —
+    * the previously unit-only §2.a save/load rows become driver-visible.
+    */
+  def q29SketchPersist(spark: SparkSession, dir: String): DataFrame = {
+    val built = buildTextSketch(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-q29").resolve("sketch.bqf").toString
+    BackpackFilter.saveToFile(built.filter, path)
+    val loaded = new BqfQuery(spark, BackpackFilter.loadFromFile(path).serialize())
+    shingles(spark, dir, ShingleN).select("shingle").distinct()
+      .withColumn("abund_loaded", loaded.abundanceOf(fpOfShingle(col("shingle"))))
+      .select("shingle", "abund_loaded")
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -668,6 +686,7 @@ object Queries {
     "q26_cf_second_emit" -> (q26CfSecondEmit _),
     "q27_embedding_neardup" -> (q27EmbeddingNearDup _),
     "q28_bqf_remove" -> (q28BqfRemove _),
+    "q29_sketch_persist" -> (q29SketchPersist _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -676,6 +695,9 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q01_bqf_abundance" ->
       s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle",
+    // identical counts, but answered through a saved-then-loaded sketch copy
+    "q29_sketch_persist" ->
+      s"SELECT shingle, count(*) AS abund_loaded FROM ($sh8) GROUP BY shingle",
     "q02_bqf_filter_ge2" ->
       s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
     "q03_bqf_membership" ->

@@ -155,6 +155,45 @@ class BackpackFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("churn differential: oom mode (structural-only remove) and cf mode (c=1)") {
+    // same adversary as the exact-mode churn, for the other two codecs:
+    // oom remove is structural-only regardless of requested count
+    // (bqf_oom.cpp:27-108), cf filters are 1-bit membership
+    for ((mode, countBits) <- Seq((CountMode.OrderOfMagnitude, 6), (CountMode.Exact, 1))) {
+      val rnd = new Random(77 + countBits)
+      val qBits = 7
+      val hashBits = qBits + 9
+      val f = BackpackFilter(qBits, countBits = countBits, hashBits = hashBits, mode = mode)
+      // oracle stores the multiset count; expected stored value derived per codec
+      val oracle = mutable.Map.empty[Long, Long]
+      val universe = Array.fill(250)(rnd.nextLong() & ((1L << hashBits) - 1))
+      def expected(v: Long): Long =
+        if (mode == CountMode.OrderOfMagnitude) pow2floor(v, countBits)
+        else saturate(countBits)(v)
+      for (step <- 1 to 5000) {
+        val fp = universe(rnd.nextInt(universe.length))
+        if (rnd.nextInt(3) < 2) {
+          val c = rnd.nextInt(4) + 1L
+          f.add(fp, c)
+          if (mode == CountMode.OrderOfMagnitude)
+            // oom counters do NOT accumulate on re-insert (add_to_counter is
+            // a no-op, bqf_oom.cpp:112-114): the FIRST stored exponent wins
+            oracle(fp) = oracle.getOrElse(fp, c)
+          else oracle(fp) = math.min(oracle.getOrElse(fp, 0L) + c, (1L << countBits) - 1)
+        } else {
+          val cur = oracle.getOrElse(fp, 0L)
+          val ok = f.remove(fp, Long.MaxValue) // structural either way
+          assert(ok == (cur > 0), s"remove presence diverged at step $step ($mode)")
+          oracle.remove(fp)
+        }
+        if (step % 500 == 0)
+          universe.foreach(u => assert(f.abundance(u) == oracle.get(u).map(expected).getOrElse(0L),
+            s"abundance($u) diverged at step $step ($mode, c=$countBits)"))
+      }
+      assert(f.enumerate() == oracle.map { case (k, v) => k -> expected(v) }.toMap)
+    }
+  }
+
   test("counter saturation at 2^c - 1 (exact codec)") {
     val f = BackpackFilter(qBits = 7, countBits = 5, hashBits = 20)
     val fp = 0x3ffeeL & Bits.maskRight(20)
