@@ -131,8 +131,13 @@ object Queries {
     // explode: every downstream distinct/count/join moves 8-byte longs, not
     // 12-char strings (collision odds ~n^2/2^65 — immaterial up to ~10^8
     // distinct shingles; the pair set is unchanged)
+    // materialized ONCE: both the hot-set aggregation and the join side
+    // below consume the distinct (doc_id, shingle-id) set, and without the
+    // checkpoint each consumption re-explodes and re-deduplicates the
+    // corpus (measured: 2.3 s of the warm 6.5 s at sf0.1)
     val sh = shingles(spark, dir, 12)
       .select(col("doc_id"), xxhash64(col("shingle")).as("s")).distinct()
+      .localCheckpoint()
     // broadcast the SMALL side: in long-tail text nearly every shingle is
     // rare, so the broadcastable set is the hot one (count > 20) and the
     // rare-only restriction becomes a broadcast anti-join (round 1
