@@ -74,6 +74,36 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Continuous ingest of a fingerprint stream into a PERSISTED sharded BQF
+    * index — the unbounded twin of [[graft.plans.BqfPipeline.buildIndexSorted]]:
+    * each micro-batch pre-aggregates its fingerprints, builds per-bucket
+    * partial sketches (buckets = fingerprint high bits, the same routing the
+    * batch index and its point queries use), merges them with the store's
+    * current shards, and appends the new shard versions tagged with the
+    * batch id.
+    *
+    * Exactly-once: the streaming checkpoint replays an uncommitted batch
+    * with the SAME batchId, and [[IndexIngest.ingestBatch]] skips a batchId
+    * already present in the store — so a crash between store-append and
+    * checkpoint-commit cannot double-count. Readers take the latest version
+    * per bucket ([[IndexIngest.currentShards]]), which is always a complete
+    * prefix of the stream.
+    *
+    * At 100 TB this is the continuous-corpus story: ingest never rewrites
+    * more than the touched buckets, the store is append-only parquet (object
+    * -store friendly), and query/enumerate route by the same bucket bits.
+    */
+  def indexIngest(fps: Dataset[Long], params: graft.operators.BqfParams,
+                  nBuckets: Int, storeDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fps.toDF("fp").writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        IndexIngest.ingestBatch(batch, batchId, params, nBuckets, storeDir)
+      }
+      .start()
+
   /** Per-key abundance state maintained incrementally: updates a running
     * (fingerprint -> count) with saturation, emitting (fp, newCount) deltas.
     */
@@ -87,5 +117,77 @@ object StreamingOps {
           state.update(next)
           Iterator.single((fp, next))
       }
+  }
+}
+
+/** Store mechanics of [[StreamingOps.indexIngest]] — an append-only parquet
+  * shard store with per-batch versioning. Layout: rows
+  * (bucket, sketch, batch_id); the live index is the max-batch_id row per
+  * bucket. Also usable standalone for incremental BATCH ingest (call
+  * [[IndexIngest.ingestBatch]] with your own monotonic batch ids).
+  */
+object IndexIngest {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.expressions.Window
+
+  private def storeExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Latest shard version per bucket — the live (bucket, sketch) index,
+    * directly consumable by [[graft.plans.BqfPipeline.enumerateIndex]] and
+    * by bucket-routed point queries.
+    */
+  def currentShards(spark: SparkSession, storeDir: String): DataFrame = {
+    if (!storeExists(spark, storeDir))
+      return spark.emptyDataFrame
+        .withColumn("bucket", lit(0L)).withColumn("sketch", lit(Array.empty[Byte]))
+        .limit(0)
+    spark.read.parquet(storeDir)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("batch_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("bucket"), col("sketch"))
+  }
+
+  /** Has `batchId` already committed to the store? (replay guard) */
+  def committed(spark: SparkSession, storeDir: String, batchId: Long): Boolean =
+    storeExists(spark, storeDir) &&
+      spark.read.parquet(storeDir).filter(col("batch_id") === batchId).head(1).nonEmpty
+
+  /** Merge one batch of fingerprints (column `fp`) into the store. Safe to
+    * replay: a batchId already in the store is a no-op.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long,
+                  params: graft.operators.BqfParams, nBuckets: Int,
+                  storeDir: String): Unit = {
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0, "nBuckets must be a power of 2")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (committed(spark, storeDir, batchId)) return
+    val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    // pre-aggregate: the exchange carries one (fp, count) per distinct
+    // fingerprint per batch, and the UDAF does counted inserts
+    val bqf = graft.operators.SketchAggregators.bqfOverCountedFingerprints(params)
+    val partials = batch.select(col("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", shiftrightunsigned(col("fp"), shift))
+      .groupBy("bucket").agg(bqf(col("fp"), col("cnt")).as("partial"))
+    val merged = partials
+      .join(currentShards(spark, storeDir), Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("partial"), col("sketch"))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .map { case (bucket, partial, old) =>
+        val sketch =
+          if (old == null) partial
+          else BackpackFilter.mergeAll(Seq(
+            BackpackFilter.deserialize(old), BackpackFilter.deserialize(partial))).serialize()
+        (bucket, sketch)
+      }
+      .toDF("bucket", "sketch")
+      .withColumn("batch_id", lit(batchId))
+    if (merged.head(1).nonEmpty)
+      merged.write.mode("append").parquet(storeDir)
   }
 }

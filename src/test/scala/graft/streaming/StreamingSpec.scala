@@ -122,6 +122,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got1.intersect(got2).isEmpty, "state lost across restart: duplicate emits")
   }
 
+  test("streaming index ingest: persisted shards equal exact counts across restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val params = graft.operators.BqfParams(qBits = 10, countBits = 16, hashBits = 32,
+      kTokens = 8, zTokens = 0, seed = 0L)
+    val nBuckets = 8
+    val store = java.nio.file.Files.createTempDirectory("graft-ingest-store").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    val rnd = new scala.util.Random(31)
+    val all = Vector.fill(5000)(rnd.nextLong() & ((1L << 32) - 1))
+    val (phase1, phase2) = all.splitAt(3000)
+
+    val input = MemoryStream[Long]
+    def run(data: Seq[Vector[Long]]): Unit = {
+      val q = StreamingOps.indexIngest(input.toDS(), params, nBuckets, store, ckpt)
+      data.foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    // phase 1 in two micro-batches, stop; phase 2 resumes the checkpoint
+    run(phase1.grouped(1500).toSeq)
+    run(phase2.grouped(1000).toSeq)
+
+    // the live index must answer EXACT counts for the whole stream
+    val got = graft.plans.BqfPipeline.enumerateIndex(
+        IndexIngest.currentShards(spark, store))
+      .as[(Long, Long)].collect().toMap
+    val want = all.groupBy(identity).map { case (fp, occ) => fp -> occ.size.toLong }
+    assert(got == want, s"index diverged: ${got.size} entries vs ${want.size}")
+
+    // replaying an already-committed batch is a no-op (exactly-once guard)
+    val before = spark.read.parquet(store).count()
+    IndexIngest.ingestBatch(phase1.take(100).toDF("fp"), batchId = 0L, params, nBuckets, store)
+    assert(spark.read.parquet(store).count() == before, "replayed batch appended rows")
+  }
+
   test("windowed streaming aggregation with watermark over events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
