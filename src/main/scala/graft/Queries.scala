@@ -658,6 +658,26 @@ object Queries {
       .select("shingle", "abund_loaded")
   }
 
+  /** Distributed point queries THROUGH THE SHARDED INDEX (no broadcast, no
+    * merge-to-one): the probe set is bucket-routed to shard reducers by the
+    * same fingerprint high bits the build used
+    * ([[BqfPipeline.queryIndex]]) — the query path once the index exceeds
+    * broadcast size. Answers must equal q01's broadcast-sketch counts, so
+    * the q01 oracle checks build → shard → route → task-local probe end to
+    * end. Emits are named via the distinct-shingle dictionary (8-byte fps
+    * on the probe exchange, q26's shape).
+    */
+  def q30IndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 32
+    val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
+    val shards = BqfPipeline.buildIndexSorted(
+      docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams, nBuckets)
+    val dict = shingles(spark, dir, ShingleN).select("shingle").distinct()
+      .select(col("shingle"), fpOfShingle(col("shingle")).as("fp"))
+    val answered = BqfPipeline.queryIndex(shards, dict.select("fp"), TextParams, nBuckets)
+    dict.join(answered, "fp").select(col("shingle"), col("abundance").as("abund_idx"))
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -692,6 +712,7 @@ object Queries {
     "q27_embedding_neardup" -> (q27EmbeddingNearDup _),
     "q28_bqf_remove" -> (q28BqfRemove _),
     "q29_sketch_persist" -> (q29SketchPersist _),
+    "q30_index_query" -> (q30IndexQuery _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -703,6 +724,10 @@ object Queries {
     // identical counts, but answered through a saved-then-loaded sketch copy
     "q29_sketch_persist" ->
       s"SELECT shingle, count(*) AS abund_loaded FROM ($sh8) GROUP BY shingle",
+    // identical counts, but answered through bucket-routed sharded-index
+    // probes (no broadcast, no merge)
+    "q30_index_query" ->
+      s"SELECT shingle, count(*) AS abund_idx FROM ($sh8) GROUP BY shingle",
     "q02_bqf_filter_ge2" ->
       s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
     "q03_bqf_membership" ->

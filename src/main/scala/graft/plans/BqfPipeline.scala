@@ -224,6 +224,34 @@ object BqfPipeline {
       .toDF("fingerprint", "abundance")
   }
 
+  /** Distributed point queries against a sharded index — the query path
+    * once the index exceeds broadcast size (a 100 TB corpus's index is
+    * GBs-to-TBs of shards; no single sketch can ride a broadcast variable).
+    * Probes are routed to their shard by the same high-bit bucketing the
+    * build used, co-grouped with the shard blob, and answered task-locally:
+    * the shuffle moves 8-byte probe fingerprints plus each shard blob
+    * exactly once; each reducer deserializes its shard once and probes all
+    * of its fingerprints. Probes whose bucket has no shard answer 0
+    * (nothing was ever inserted there). Returns (fp, abundance).
+    */
+  def queryIndex(shards: DataFrame, probes: DataFrame, params: BqfParams,
+                 nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0, "nBuckets must be a power of 2")
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val probesByBucket = probes.select(col("fp")).as[Long].groupByKey(fp => fp >>> shift)
+    val shardsByBucket = shards.select(col("bucket"), col("sketch"))
+      .as[(Long, Array[Byte])].groupByKey(_._1)
+    probesByBucket.cogroup(shardsByBucket) { (_, ps, ss) =>
+      if (!ss.hasNext) ps.map(fp => (fp, 0L))
+      else {
+        val f = graft.core.BackpackFilter.deserialize(ss.next()._2)
+        ps.map(fp => (fp, f.abundance(fp)))
+      }
+    }.toDF("fp", "abundance")
+  }
+
   /** Fold (bucket, sketch) rows into one sketch through a merge tree with
     * bounded fanout, so the final reducer never sees more than `fanout`
     * blobs per level.
