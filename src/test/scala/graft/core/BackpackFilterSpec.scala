@@ -194,6 +194,40 @@ class BackpackFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("merge of churned filters equals merged oracles (delete+merge interplay)") {
+    // shards that have seen deletions must still merge correctly: the merge
+    // path consumes the post-delete physical layout (runs shrunk, offsets
+    // decremented, blocks repacked), which no insert-only test produces
+    val rnd = new Random(59)
+    val hashBits = 16
+    def churned(seed: Int): (BackpackFilter, mutable.Map[Long, Long]) = {
+      val r = new Random(seed)
+      val f = BackpackFilter(qBits = 7, countBits = 8, hashBits = hashBits, mode = CountMode.Exact)
+      val oracle = mutable.Map.empty[Long, Long]
+      val universe = Array.fill(200)(r.nextLong() & ((1L << hashBits) - 1))
+      for (_ <- 1 to 3000) {
+        val fp = universe(r.nextInt(universe.length))
+        if (r.nextInt(3) < 2) {
+          val c = r.nextInt(4) + 1L
+          f.add(fp, c); oracle(fp) = math.min(oracle.getOrElse(fp, 0L) + c, 255L)
+        } else {
+          val cur = oracle.getOrElse(fp, 0L)
+          val c = r.nextInt(6) + 1L
+          f.remove(fp, c)
+          if (cur != 0) { if (c >= cur) oracle.remove(fp) else oracle(fp) = cur - c }
+        }
+      }
+      (f, oracle)
+    }
+    val shards = Seq.fill(4)(churned(rnd.nextInt()))
+    val merged = BackpackFilter.mergeAll(shards.map(_._1))
+    val want = shards.map(_._2).foldLeft(mutable.Map.empty[Long, Long]) { (acc, m) =>
+      m.foreach { case (k, v) => acc(k) = math.min(acc.getOrElse(k, 0L) + v, 255L) }
+      acc
+    }
+    assert(merged.enumerate() == want.toMap)
+  }
+
   test("counter saturation at 2^c - 1 (exact codec)") {
     val f = BackpackFilter(qBits = 7, countBits = 5, hashBits = 20)
     val fp = 0x3ffeeL & Bits.maskRight(20)
