@@ -1281,6 +1281,11 @@ object BackpackFilter {
   }
 
   def deserialize(bytes: Array[Byte]): BackpackFilter = {
+    // untrusted bytes (files, parquet blobs): every header field is bounded
+    // BEFORE the table allocation, so a corrupt payload fails with a clear
+    // IllegalArgumentException instead of a BufferUnderflow, a negative
+    // array size, or a 2^60-slot allocation attempt
+    require(bytes.length >= 11 * 8, s"sketch blob truncated: ${bytes.length} bytes < 88-byte header")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val q = bb.getLong.toInt
@@ -1294,8 +1299,13 @@ object BackpackFilter {
     val hashBits = bb.getLong.toInt
     val mode = CountMode.fromTag(bb.getLong.toInt)
     val seed = bb.getLong
+    require(q >= 6 && q <= 36, s"corrupt sketch header: qBits=$q")
+    require(c >= 0 && c <= 63, s"corrupt sketch header: countBits=$c")
+    require(hashBits > q && hashBits <= 64, s"corrupt sketch header: hashBits=$hashBits (q=$q)")
     val f = new BackpackFilter(q, c, hashBits, mode, k, z, seed)
     require(f.slotBits == slotBits && f.numBlocks == nBlocks, "corrupt sketch header")
+    require(bytes.length == 11 * 8 + 8L * f.table.length,
+      s"sketch blob length ${bytes.length} != expected ${11 * 8 + 8L * f.table.length}")
     var i = 0
     while (i < f.table.length) { f.table(i) = bb.getLong; i += 1 }
     f.sizeLimit = sizeLimit

@@ -337,6 +337,26 @@ class BackpackFilterSpec extends AnyFunSuite {
       s"FP rate ${fpCount.toDouble / tested} above 3 * 2^-${hashBits - q}")
   }
 
+  test("deserialize rejects malformed blobs with clear errors, never allocates wild") {
+    val f = BackpackFilter(qBits = 7, countBits = 5, hashBits = 20)
+    (1L to 50L).foreach(i => f.add(i * 7919L & 0xfffffL))
+    val good = f.serialize()
+    // truncated header
+    val e1 = intercept[IllegalArgumentException](BackpackFilter.deserialize(good.take(40)))
+    assert(e1.getMessage.contains("truncated"))
+    // truncated table
+    intercept[IllegalArgumentException](BackpackFilter.deserialize(good.dropRight(8)))
+    // qBits corrupted to 60: must be a bounds error, not an OOM attempt
+    val badQ = good.clone(); badQ(0) = 60
+    val e2 = intercept[IllegalArgumentException](BackpackFilter.deserialize(badQ))
+    assert(e2.getMessage.contains("qBits"))
+    // hashBits <= qBits rejected
+    val badH = good.clone(); badH(64) = 3 // hashBits field (9th u64, offset 8*8)
+    intercept[IllegalArgumentException](BackpackFilter.deserialize(badH))
+    // the untouched blob still round-trips
+    assert(BackpackFilter.deserialize(good).enumerate() == f.enumerate())
+  }
+
   test("serialize/deserialize round-trip") {
     val f = BackpackFilter(qBits = 8, countBits = 5, hashBits = 30, kTokens = 8, zTokens = 2)
     val rng = new Random(11)
