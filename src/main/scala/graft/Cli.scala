@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
 /** Spark-native analogue of the reference CLI's three verbs
   * (/root/reference/src/main.cpp:10-15):
   *
-  *   build     -i <tokens parquet> -o <sketch file> [-q Q -c C -k K -z Z]
-  *   query     -b <sketch file> -i <tokens parquet> -o <results parquet>
-  *   filter    -i <tokens parquet> -o <out path> [-k K] [-f parquet|text]
-  *   enumerate -b <sketch file> -o <out parquet>
+  *   build       -i <tokens parquet> -o <sketch file> [-q Q -c C -k K -z Z]
+  *   query       -b <sketch file> -i <tokens parquet> -o <results parquet>
+  *   filter      -i <tokens parquet> -o <out path> [-k K] [-f parquet|text]
+  *   enumerate   -b <sketch file> -o <out parquet>
+  *   build-index -i <tokens parquet> -o <shards parquet> [-n BUCKETS ...]
+  *   query-index -b <shards parquet> -i <tokens parquet> -o <out parquet>
   *
   * `build` folds every s-gram fingerprint of the input's `tokens` column
   * into a distributed BQF and persists it; `query` loads + broadcasts the
@@ -30,7 +32,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Cli build|query|filter|enumerate -i IN [-b SKETCH] [-o OUT] [-q Q -c C -k K -z Z] [-f parquet|text]")
+      System.err.println("usage: graft.Cli build|query|filter|enumerate|build-index|query-index -i IN [-b SKETCH] [-o OUT] [-q Q -c C -k K -z Z] [-n BUCKETS] [-f parquet|text]")
       sys.exit(2)
     }
     val verb = args.head
@@ -103,6 +105,36 @@ object Cli {
       case "enumerate" =>
         val q = new BqfQuery(spark, BackpackFilter.loadFromFile(opts("-b")).serialize())
         q.enumerateDF().write.mode("overwrite").parquet(opts("-o"))
+
+      case "build-index" =>
+        // sharded index persisted as a (bucket, sketch) parquet store — the
+        // form that scales past broadcast size; query with `query-index`
+        val nBuckets = opts.getOrElse("-n", "64").toInt
+        val df = spark.read.parquet(opts("-i"))
+        val t0 = System.nanoTime()
+        BqfPipeline.buildIndexSorted(df,
+          sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed),
+          params, nBuckets)
+          .write.mode("overwrite").parquet(opts("-o"))
+        println(s"Index construction time = ${(System.nanoTime() - t0) / 1000000}ms ($nBuckets shards)")
+
+      case "query-index" =>
+        // point abundance of every distinct s-gram of the input, answered
+        // by bucket-routed probes against the sharded store (no broadcast)
+        val shards = spark.read.parquet(opts("-b"))
+        // -n should match the build; absent, round max(bucket)+1 up to a
+        // power of two (fingerprints are uniform, so a fully-empty top half
+        // of buckets does not occur in practice)
+        val nBuckets = opts.get("-n").map(_.toInt).getOrElse {
+          val m = shards.select(max(col("bucket"))).head().getLong(0).toInt + 1
+          var p = 1; while (p < m) p <<= 1; p
+        }
+        val probes = spark.read.parquet(opts("-i"))
+          .select(explode(sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)).as("fp"))
+          .distinct()
+        BqfPipeline.queryIndex(shards, probes, params, nBuckets)
+          .withColumnRenamed("fp", "kgram_fp")
+          .write.mode("overwrite").parquet(opts("-o"))
 
       case other =>
         System.err.println(s"unknown verb: $other")

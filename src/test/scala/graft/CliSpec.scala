@@ -66,6 +66,21 @@ class CliSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("build-index -> query-index answers exact s-gram counts, no broadcast") {
+    Cli.main(Array("build-index", "-i", s"$dir/tokens.parquet", "-o", s"$dir/shards.parquet",
+      "-n", "16", "-q", "12", "-c", "16", "-k", "8", "-z", "2"))
+    val shards = spark.read.parquet(s"$dir/shards.parquet")
+    assert(shards.count() > 0 && shards.columns.toSet == Set("bucket", "sketch"))
+    Cli.main(Array("query-index", "-b", s"$dir/shards.parquet", "-i", s"$dir/tokens.parquet",
+      "-o", s"$dir/idxq.parquet", "-n", "16", "-q", "12", "-c", "16", "-k", "8", "-z", "2"))
+    val got = spark.read.parquet(s"$dir/idxq.parquet").as[(Long, Long)].collect().toMap
+    val expected = spark.read.parquet(s"$dir/tokens.parquet")
+      .select(explode(sgram_fingerprints(col("tokens"), 6, 48, 0L)).as("fp"))
+      .groupBy("fp").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, s"index query: ${got.size} fps vs ${expected.size}")
+  }
+
   test("enumerate streams the sketch entries out relationally") {
     val out = spark.read.parquet {
       Cli.main(Array("enumerate", "-b", s"$dir/sketch.bqf", "-o", s"$dir/enum.parquet"))
