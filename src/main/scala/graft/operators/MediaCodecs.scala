@@ -60,9 +60,13 @@ object MediaCodecs {
     i = off + 2
     val w = int(); val h = int(); val maxv = int()
     require(maxv == 255, s"PPM: unsupported maxval $maxv")
+    // same overflow class as the BMP fix: header-supplied dims near 2^31
+    // would overflow 3*w*h in Int and bypass the truncation check
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+      s"PPM: implausible dimensions ${w}x$h")
     i += 1 // exactly ONE whitespace byte separates header from raster
+    require(bytes.length - i >= 3L * w * h, "PPM: truncated raster")
     val n = 3 * w * h
-    require(bytes.length - i >= n, "PPM: truncated raster")
     val rgb = java.util.Arrays.copyOfRange(bytes, i, i + n)
     (Image(w, h, rgb), i + n)
   }

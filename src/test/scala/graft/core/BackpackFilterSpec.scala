@@ -194,6 +194,33 @@ class BackpackFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("churn across multiple resize doublings (delete+resize interplay)") {
+    // universe of 1500 distinct fps over a q=7 start: the filter crosses
+    // several auto-resize doublings WHILE deletions keep reshaping run
+    // layouts — each rebuild consumes a post-delete table and each delete
+    // runs on a freshly rebuilt one
+    val rnd = new Random(97)
+    val hashBits = 20
+    val f = BackpackFilter(qBits = 7, countBits = 8, hashBits = hashBits, mode = CountMode.Exact)
+    val oracle = mutable.Map.empty[Long, Long]
+    val universe = Array.fill(1500)(rnd.nextLong() & ((1L << hashBits) - 1))
+    for (step <- 1 to 20000) {
+      val fp = universe(rnd.nextInt(universe.length))
+      if (rnd.nextInt(4) < 3) { // add-biased so the load climbs through caps
+        val c = rnd.nextInt(3) + 1L
+        f.add(fp, c); oracle(fp) = math.min(oracle.getOrElse(fp, 0L) + c, 255L)
+      } else {
+        val cur = oracle.getOrElse(fp, 0L)
+        val c = rnd.nextInt(4) + 1L
+        f.remove(fp, c)
+        if (cur != 0) { if (c >= cur) oracle.remove(fp) else oracle(fp) = cur - c }
+      }
+      if (step % 2500 == 0) assert(f.enumerate() == oracle.toMap, s"diverged at step $step")
+    }
+    assert(f.distinctCount == oracle.size.toLong)
+    assert(f.enumerate() == oracle.toMap)
+  }
+
   test("merge of churned filters equals merged oracles (delete+merge interplay)") {
     // shards that have seen deletions must still merge correctly: the merge
     // path consumes the post-delete physical layout (runs shrunk, offsets

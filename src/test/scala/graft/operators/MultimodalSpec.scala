@@ -59,6 +59,18 @@ class MultimodalSpec extends AnyFunSuite {
     overflowDims(18) = 0; overflowDims(19) = 0; overflowDims(20) = 4; overflowDims(21) = 0 // w = 2^18
     overflowDims(22) = 0; overflowDims(23) = 0x20.toByte; overflowDims(24) = 0; overflowDims(25) = 0 // h = 2^13
     intercept[IllegalArgumentException](decodeBmp(overflowDims))
+
+    // PPM dims beyond the plausibility bound: clean dimensions error
+    val hugePpm = "P6\n2000000 2\n255\n".getBytes("US-ASCII") ++ Array.fill(16)(0.toByte)
+    val e3 = intercept[IllegalArgumentException](decodePpm(hugePpm))
+    assert(e3.getMessage.contains("dimensions"))
+    // dims whose product overflows Int but pass the per-axis bound: the
+    // Long-math truncation check must catch them (not wrap negative)
+    val ovPpm = "P6\n1000000 1000000\n255\n".getBytes("US-ASCII") ++ Array.fill(16)(0.toByte)
+    val e4 = intercept[IllegalArgumentException](decodePpm(ovPpm))
+    assert(e4.getMessage.contains("truncated"))
+    val zeroPpm = "P6\n0 5\n255\n".getBytes("US-ASCII")
+    intercept[IllegalArgumentException](decodePpm(zeroPpm))
   }
 
   test("PPM parser handles comments and multi-digit dims") {
