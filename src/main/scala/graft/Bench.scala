@@ -249,7 +249,7 @@ object Bench {
       val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "1,2,4,8,16")
         .split(",").map(_.trim.toInt).distinct.sorted
       val coreTrials = sys.env.getOrElse("SPARK_GRAFT_CORE_TRIALS", "3").toInt
-      val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "4").toInt
+      val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "3").toInt
 
       def minPerLevel(run: Int => Double, nTrials: Int): Map[Int, Double] =
         (1 to nTrials).flatMap(_ => levels.map(c => c -> run(c)))
