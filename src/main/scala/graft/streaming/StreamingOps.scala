@@ -156,6 +156,37 @@ object IndexIngest {
     storeExists(spark, storeDir) &&
       spark.read.parquet(storeDir).filter(col("batch_id") === batchId).head(1).nonEmpty
 
+  /** Rewrite the store to only the LATEST version of each bucket (batch_id
+    * preserved, so the replay guard still sees every committed id it needs:
+    * the max id; older ids were superseded and can never replay once the
+    * streaming checkpoint has advanced past them). Append-only stores grow
+    * one shard version per touched bucket per batch — run this periodically
+    * or when the store's size bothers you. Maintenance op: readers racing a
+    * compaction may transiently fail and should retry; the streaming query
+    * itself must be stopped (same rule as any parquet rewrite).
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    if (!storeExists(spark, storeDir)) return
+    val keep = spark.read.parquet(storeDir)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("batch_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("bucket"), col("sketch"), col("batch_id"))
+      .collect() // bounded: one row per bucket (nBuckets is small by design)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sketch", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+    val compacted = spark.createDataFrame(
+      java.util.Arrays.asList(keep: _*), schema)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".compact-tmp")
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(storeDir))
+  }
+
   /** Merge one batch of fingerprints (column `fp`) into the store. Safe to
     * replay: a batchId already in the store is a no-op.
     */

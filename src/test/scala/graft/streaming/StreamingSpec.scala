@@ -155,6 +155,22 @@ class StreamingSpec extends AnyFunSuite {
     val before = spark.read.parquet(store).count()
     IndexIngest.ingestBatch(phase1.take(100).toDF("fp"), batchId = 0L, params, nBuckets, store)
     assert(spark.read.parquet(store).count() == before, "replayed batch appended rows")
+
+    // compaction keeps only the latest version per bucket; the live index
+    // and the replay guard (max batch_id) are unchanged
+    val liveBefore = IndexIngest.currentShards(spark, store)
+      .as[(Long, Array[Byte])].collect().map { case (b, s) => b -> s.toVector }.toMap
+    IndexIngest.compact(spark, store)
+    val after = spark.read.parquet(store)
+    assert(after.count() < before, "compaction did not shrink the store")
+    assert(after.count() == liveBefore.size, "one row per live bucket expected")
+    val liveAfter = IndexIngest.currentShards(spark, store)
+      .as[(Long, Array[Byte])].collect().map { case (b, s) => b -> s.toVector }.toMap
+    assert(liveAfter == liveBefore, "live index changed under compaction")
+    val gotAfter = graft.plans.BqfPipeline.enumerateIndex(
+        IndexIngest.currentShards(spark, store))
+      .as[(Long, Long)].collect().toMap
+    assert(gotAfter == want)
   }
 
   test("windowed streaming aggregation with watermark over events") {
