@@ -36,6 +36,32 @@ class ReshardMergeSpec extends AnyFunSuite {
     i32.unpersist()
   }
 
+  test("queryIndex == broadcast sketch on random probes (present, absent, resharded)") {
+    import spark.implicits._
+    val df = TokensTable.dataframe(spark, 300, partitions = 4)
+    val fps = sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)
+    val nBuckets = 16
+    val shards = BqfPipeline.buildIndexSorted(df, fps, params, nBuckets).cache()
+    // probe set: every inserted fp plus never-inserted randoms (expect 0)
+    val rnd = new scala.util.Random(7)
+    val absent = Seq.fill(2000)(rnd.nextLong() & ((1L << params.hashBits) - 1))
+    val probes = df.select(explode(fps).as("fp")).distinct()
+      .unionByName(absent.toDF("fp")).distinct().cache()
+    val viaIndex = BqfPipeline.queryIndex(shards, probes, params, nBuckets)
+      .as[(Long, Long)].collect().toMap
+    // broadcast twin: one merged blob answers the same probes
+    val blob = BqfPipeline.treeMerge(shards, nBuckets, 16)
+    val f = BackpackFilter.deserialize(blob)
+    val expected = probes.as[Long].collect().map(fp => fp -> f.abundance(fp)).toMap
+    assert(viaIndex == expected, s"${viaIndex.size} answers vs ${expected.size}")
+    // resharding the index must not change any answer
+    val resharded = BqfPipeline.reshardMerge(shards, params, 4)
+    val viaResharded = BqfPipeline.queryIndex(resharded, probes, params, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(viaResharded == expected)
+    shards.unpersist(); probes.unpersist()
+  }
+
   test("reshardMerge to one shard == serial treeMerge blob") {
     val df = TokensTable.dataframe(spark, 200, partitions = 4)
     val fps = sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)
