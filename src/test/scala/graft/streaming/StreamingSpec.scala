@@ -173,6 +173,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotAfter == want)
   }
 
+  test("broadcast-sketch query expressions work inside a streaming query") {
+    // the batch query surface (codegen abundance expression over a
+    // broadcast sketch) composes with Structured Streaming unchanged:
+    // each micro-batch probes the same broadcast, no state involved
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val params = graft.operators.BqfParams(qBits = 10, countBits = 8, hashBits = 32,
+      kTokens = 8, zTokens = 0, seed = 0L)
+    val f = params.freshSized()
+    val inserted = (1L to 500L).map(i => graft.core.Fingerprint.splitmix64(i) & 0xffffffffL)
+    inserted.foreach(fp => f.add(fp))
+    val bq = new graft.operators.BqfQuery(spark, f.serialize())
+    val input = MemoryStream[Long]
+    val probed = input.toDS().toDF("fp")
+      .select(col("fp"), bq.abundanceOf(col("fp")).as("abund"))
+    val query = probed.writeStream.format("memory").queryName("streamProbe")
+      .outputMode("append").start()
+    val absent = (1L to 100L).map(i => graft.core.Fingerprint.splitmix64(-i) & 0xffffffffL)
+    input.addData(inserted.take(200) ++ absent)
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.sql("SELECT fp, abund FROM streamProbe").as[(Long, Long)].collect().toMap
+    assert(inserted.take(200).forall(fp => rows(fp) >= 1L), "inserted fp missing in stream probe")
+    assert(absent.count(fp => rows.getOrElse(fp, 0L) > 0) <= 2, "absent fps should probe ~0")
+  }
+
   test("windowed streaming aggregation with watermark over events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
