@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   *   build       -i <tokens parquet> -o <sketch file> [-q Q -c C -k K -z Z]
   *   query       -b <sketch file> -i <tokens parquet> -o <results parquet>
-  *   filter      -i <tokens parquet> -o <out path> [-k K] [-f parquet|text]
+  *   filter      -i <tokens parquet> -o <out path> [-k K] [-f parquet|text|stream]
   *   enumerate   -b <sketch file> -o <out parquet>
   *   build-index -i <tokens parquet> -o <shards parquet> [-n BUCKETS ...]
   *   query-index -b <shards parquet> -i <tokens parquet> -o <out parquet>
@@ -95,6 +95,20 @@ object Cli {
               .filter(col("count") >= 2)
               .select(format_string("%s\t%d", array_join(col("kgram"), ","), col("count")))
               .write.mode("overwrite").text(opts("-o"))
+          case "stream" =>
+            // the reference's third sink writes to STDOUT (bqf_cf.hpp:6-8
+            // output_mode_t stream); same decoded `tok,...\tcount` lines,
+            // streamed through toLocalIterator so driver memory stays
+            // bounded by one partition
+            val k = params.kTokens
+            val it = df.filter(size(col("tokens")) >= k)
+              .select(explode(expr(
+                s"transform(sequence(1, size(tokens) - ${k - 1}), u -> slice(tokens, u, $k))")).as("kgram"))
+              .groupBy("kgram").count()
+              .filter(col("count") >= 2)
+              .select(format_string("%s\t%d", array_join(col("kgram"), ","), col("count")).as("line"))
+              .toLocalIterator()
+            while (it.hasNext) println(it.next().getString(0))
           case _ => // set semantics are order-insensitive, like the reference's E2E check
             df.select(explode(sgram_fingerprints(col("tokens"), params.kTokens, params.hashBits, params.seed)).as("kgram_fp"))
               .groupBy("kgram_fp").count()

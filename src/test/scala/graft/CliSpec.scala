@@ -56,6 +56,23 @@ class CliSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "degenerate fixture: no repeated k-grams")
   }
 
+  test("filter -f stream writes decoded k-gram lines to stdout (ref stream mode)") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Cli.main(Array("filter", "-i", s"$dir/tokens.parquet", "-o", "/dev/null",
+        "-k", "8", "-f", "stream"))
+    }
+    val got = buf.toString("UTF-8").split("\n").filter(_.contains("\t"))
+      .map { line => val Array(kg, c) = line.split("\t"); (kg, c.toLong) }.toMap
+    val expected = spark.read.parquet(s"$dir/tokens.parquet")
+      .filter(size(col("tokens")) >= 8)
+      .select(explode(expr(
+        "transform(sequence(1, size(tokens) - 7), u -> array_join(slice(tokens, u, 8), ','))")).as("kg"))
+      .groupBy("kg").count().filter(col("count") >= 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected, s"stream sink: ${got.size} vs ${expected.size}")
+  }
+
   test("filter parquet sink matches the fingerprint recompute") {
     Cli.main(Array("filter", "-i", s"$dir/tokens.parquet", "-o", s"$dir/filtered_pq", "-k", "8"))
     val got = spark.read.parquet(s"$dir/filtered_pq").as[(Long, Long)].collect().toMap
