@@ -123,11 +123,14 @@ class BackpackFilterSpec extends AnyFunSuite {
     for (qBits <- Seq(7, 8)) {
       val rnd = new Random(41 + qBits)
       val hashBits = qBits + 9
-      val f = BackpackFilter(qBits, countBits = 8, hashBits = hashBits, mode = CountMode.Exact)
+      var f = BackpackFilter(qBits, countBits = 8, hashBits = hashBits, mode = CountMode.Exact)
       val oracle = mutable.Map.empty[Long, Long]
       val cap = 255L
       val universe = Array.fill(300)(rnd.nextLong() & ((1L << hashBits) - 1))
       for (step <- 1 to 6000) {
+        // mid-life persistence: the churned (post-delete) layout must
+        // survive a serialize/deserialize round-trip and keep churning
+        if (step % 1500 == 0) f = BackpackFilter.deserialize(f.serialize())
         val fp = universe(rnd.nextInt(universe.length))
         if (rnd.nextInt(3) < 2) {
           val c = rnd.nextInt(4) + 1L
