@@ -460,8 +460,12 @@ object Queries {
     ensureTokensParquet(spark, nRows)
     val df = TokensTable.dataframe(spark, nRows)
     val fps = sgram_fingerprints(col("tokens"), TokParams.sTokens, TokParams.hashBits, TokParams.seed)
-    val bytes = sketchCache.computeIfAbsent(s"tok|$nRows|$TokParams", _ =>
-      BqfPipeline.buildGlobal(df, fps, TokParams))
+    val bytes = sketchCache.computeIfAbsent(s"tok|$nRows|$TokParams", _ => {
+      // sorted-index path + tree merge, same switch as buildTextSketch:
+      // radix bulk build beats per-insert aggregation, output bit-identical
+      val shards = BqfPipeline.buildIndexSorted(df, fps, TokParams, nBuckets = 32)
+      BqfPipeline.treeMerge(shards, 32, fanout = 16)
+    })
     val q = new BqfQuery(spark, bytes)
     df.withColumn("st", q.sequenceStatsOf(col("tokens")))
       .select(col("doc_id"), col("st.minimum").as("min_abund"),
