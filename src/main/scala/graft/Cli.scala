@@ -130,16 +130,40 @@ object Cli {
           sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed),
           params, nBuckets)
           .write.mode("overwrite").parquet(opts("-o"))
+        // sidecar records the routing params: a query-index run with a
+        // mismatched -n or -q would otherwise route probes to the wrong
+        // buckets and answer zeros SILENTLY
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(opts("-o"), "_graft_index.json"),
+          s"""{"nBuckets":$nBuckets,"qBits":${params.qBits},"countBits":${params.countBits},""" +
+          s""""hashBits":${params.hashBits},"kTokens":${params.kTokens},"zTokens":${params.zTokens},"seed":${params.seed}}""")
         println(s"Index construction time = ${(System.nanoTime() - t0) / 1000000}ms ($nBuckets shards)")
 
       case "query-index" =>
         // point abundance of every distinct s-gram of the input, answered
         // by bucket-routed probes against the sharded store (no broadcast)
         val shards = spark.read.parquet(opts("-b"))
-        // -n should match the build; absent, round max(bucket)+1 up to a
-        // power of two (fingerprints are uniform, so a fully-empty top half
-        // of buckets does not occur in practice)
-        val nBuckets = opts.get("-n").map(_.toInt).getOrElse {
+        // routing params come from the build's sidecar when present (and a
+        // conflicting -n/-k/-z on the command line is an ERROR — wrong
+        // routing answers zeros silently); legacy stores without a sidecar
+        // fall back to -n or max(bucket)+1 rounded up to a power of two
+        val meta = {
+          val p = java.nio.file.Paths.get(opts("-b"), "_graft_index.json")
+          if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p)) else None
+        }
+        def metaField(name: String): Option[Long] =
+          meta.flatMap(m => s""""$name":(-?[0-9]+)""".r.findFirstMatchIn(m).map(_.group(1).toLong))
+        metaField("kTokens").foreach { k =>
+          require(k == params.kTokens && metaField("zTokens").forall(_ == params.zTokens) &&
+            metaField("hashBits").forall(_ == params.hashBits) &&
+            metaField("seed").forall(_ == params.seed),
+            s"query-index params (-k/-z/-h/seed) conflict with the index sidecar: $meta")
+        }
+        val nBuckets = metaField("nBuckets").map { n =>
+          opts.get("-n").map(_.toInt).foreach(cli =>
+            require(cli == n, s"-n $cli conflicts with the index's $n shards (sidecar)"))
+          n.toInt
+        }.orElse(opts.get("-n").map(_.toInt)).getOrElse {
           val m = shards.select(max(col("bucket"))).head().getLong(0).toInt + 1
           var p = 1; while (p < m) p <<= 1; p
         }

@@ -96,6 +96,17 @@ class CliSpec extends AnyFunSuite {
       .groupBy("fp").count()
       .as[(Long, Long)].collect().toMap
     assert(got == expected, s"index query: ${got.size} fps vs ${expected.size}")
+    // conflicting routing params must ERROR, not silently answer zeros
+    val e = intercept[IllegalArgumentException] {
+      Cli.main(Array("query-index", "-b", s"$dir/shards.parquet", "-i", s"$dir/tokens.parquet",
+        "-o", s"$dir/idxq2.parquet", "-n", "32", "-q", "12", "-c", "16", "-k", "8", "-z", "2"))
+    }
+    assert(e.getMessage.contains("conflicts"), s"got: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.main(Array("query-index", "-b", s"$dir/shards.parquet", "-i", s"$dir/tokens.parquet",
+        "-o", s"$dir/idxq3.parquet", "-k", "9"))
+    }
+    assert(e2.getMessage.contains("conflict"), s"got: ${e2.getMessage}")
   }
 
   test("enumerate streams the sketch entries out relationally") {
