@@ -133,11 +133,30 @@ object BqfPipeline {
     * possibly null for the all-ones build) into one contiguous pair of
     * arrays per bucket — plain arraycopies, no per-entry work.
     */
+  /** Reduce-task memory guard: a shard build gathers its whole shard
+    * (~16 B per fingerprint + radix buffers), so an under-sharded huge
+    * corpus would OOM the executor mid-stage with no hint. Fail FAST with
+    * the actionable fix instead (measured on the 620 M-k-gram run: 128
+    * shards x 32 tasks broke an 8 GiB heap; 256 x 16 built fine). The cap
+    * is a per-task fingerprint budget, overridable via the
+    * `graft.maxShardFps` system property.
+    */
+  private def maxShardFps: Long =
+    java.lang.Long.getLong("graft.maxShardFps", 96L << 20) // ~1.5 GB gathered
+
   private def gatherChunks(it: Iterator[(Long, Array[Long], Array[Long])])
       : Iterator[(Long, Array[Long], Array[Long])] = {
     val chunks = scala.collection.mutable.LongMap
       .empty[scala.collection.mutable.ArrayBuffer[(Array[Long], Array[Long])]]
+    var gathered = 0L
+    val cap = maxShardFps
     it.foreach { case (b, fps, stored) =>
+      gathered += fps.length
+      if (gathered > cap) throw new IllegalStateException(
+        s"shard gather exceeds $cap fingerprints in one task — the corpus is " +
+        "under-sharded for this executor memory; raise nBuckets (shard size = " +
+        "total fingerprints / nBuckets must fit task memory at ~16 B each) or " +
+        "-Dgraft.maxShardFps to raise the guard")
       chunks.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += ((fps, stored))
     }
     chunks.iterator.map { case (bucket, parts) =>
