@@ -141,8 +141,17 @@ object Cli {
 
       case "query-index" =>
         // point abundance of every distinct s-gram of the input, answered
-        // by bucket-routed probes against the sharded store (no broadcast)
-        val shards = spark.read.parquet(opts("-b"))
+        // by bucket-routed probes against the sharded store (no broadcast).
+        // A store carrying a batch_id column is a streaming/incremental
+        // ingest store (multi-version: one row per touched bucket per
+        // batch) — the live index is the latest version per bucket, so
+        // route through IndexIngest.currentShards; a raw read would hand
+        // queryIndex superseded shard versions (it refuses them).
+        val raw = spark.read.parquet(opts("-b"))
+        val shards =
+          if (raw.columns.contains("batch_id"))
+            graft.streaming.IndexIngest.currentShards(spark, opts("-b"))
+          else raw
         // routing params come from the build's sidecar when present (and a
         // conflicting -n/-k/-z on the command line is an ERROR — wrong
         // routing answers zeros silently); legacy stores without a sidecar
@@ -164,8 +173,14 @@ object Cli {
             require(cli == n, s"-n $cli conflicts with the index's $n shards (sidecar)"))
           n.toInt
         }.orElse(opts.get("-n").map(_.toInt)).getOrElse {
-          val m = shards.select(max(col("bucket"))).head().getLong(0).toInt + 1
-          var p = 1; while (p < m) p <<= 1; p
+          // no sidecar, no -n: REFUSE rather than infer. next-pow-2 of
+          // max(bucket)+1 guesses low whenever the top buckets happen to be
+          // unoccupied, and a low guess routes every probe to the wrong
+          // shard — zero answers, silently (and head() on an empty store
+          // NPEs). Wrong-but-confident routing is the failure mode this
+          // verb's sidecar exists to prevent.
+          sys.error(s"query-index: ${opts("-b")} has no _graft_index.json sidecar; " +
+            "pass the index's shard count explicitly with -n (it must equal the build's -n)")
         }
         val probes = spark.read.parquet(opts("-i"))
           .select(explode(sgram_fingerprints(col("tokens"), params.sTokens, params.hashBits, params.seed)).as("fp"))

@@ -1302,10 +1302,20 @@ object BackpackFilter {
     require(q >= 6 && q <= 36, s"corrupt sketch header: qBits=$q")
     require(c >= 0 && c <= 63, s"corrupt sketch header: countBits=$c")
     require(hashBits > q && hashBits <= 64, s"corrupt sketch header: hashBits=$hashBits (q=$q)")
+    // size arithmetic BEFORE the table allocation: a corrupt header with
+    // individually-plausible fields (e.g. qBits=36) must not reach
+    // `new BackpackFilter` — that would attempt the multi-hundred-GB table
+    // and die with OutOfMemoryError instead of this IllegalArgumentException
+    require(slotBits == hashBits - q + c,
+      s"corrupt sketch header: slotBits=$slotBits != hashBits-q+c=${hashBits - q + c}")
+    val expectBlocks = 1L << (q - 6)
+    require(nBlocks == expectBlocks, s"corrupt sketch header: nBlocks=$nBlocks != $expectBlocks")
+    val expectWords = expectBlocks * (3 + slotBits)
+    require(bytes.length == 11 * 8 + 8L * expectWords,
+      s"sketch blob length ${bytes.length} != expected ${11 * 8 + 8L * expectWords}")
     val f = new BackpackFilter(q, c, hashBits, mode, k, z, seed)
-    require(f.slotBits == slotBits && f.numBlocks == nBlocks, "corrupt sketch header")
-    require(bytes.length == 11 * 8 + 8L * f.table.length,
-      s"sketch blob length ${bytes.length} != expected ${11 * 8 + 8L * f.table.length}")
+    require(f.slotBits == slotBits && f.numBlocks == nBlocks && f.table.length == expectWords,
+      "corrupt sketch header")
     var i = 0
     while (i < f.table.length) { f.table(i) = bb.getLong; i += 1 }
     f.sizeLimit = sizeLimit

@@ -262,10 +262,20 @@ object BqfPipeline {
     val probesByBucket = probes.select(col("fp")).as[Long].groupByKey(fp => fp >>> shift)
     val shardsByBucket = shards.select(col("bucket"), col("sketch"))
       .as[(Long, Array[Byte])].groupByKey(_._1)
-    probesByBucket.cogroup(shardsByBucket) { (_, ps, ss) =>
+    probesByBucket.cogroup(shardsByBucket) { (bucket, ps, ss) =>
       if (!ss.hasNext) ps.map(fp => (fp, 0L))
       else {
-        val f = graft.core.BackpackFilter.deserialize(ss.next()._2)
+        val first = ss.next()._2
+        // Multiple rows for one bucket are ambiguous: a multi-version ingest
+        // store (bucket, sketch, batch_id) holds SUPERSEDED versions whose
+        // merge would double-count, while answering from an arbitrary row
+        // would silently answer from a stale version. Refuse instead of
+        // guessing — read ingest stores through IndexIngest.currentShards
+        // (Cli query-index does this automatically) or compact first.
+        require(!ss.hasNext,
+          s"queryIndex: multiple sketch rows for bucket $bucket -- this looks like a " +
+            "multi-version ingest store; query IndexIngest.currentShards(...) or compact it first")
+        val f = graft.core.BackpackFilter.deserialize(first)
         ps.map(fp => (fp, f.abundance(fp)))
       }
     }.toDF("fp", "abundance")

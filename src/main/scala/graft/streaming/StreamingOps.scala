@@ -130,9 +130,24 @@ object IndexIngest {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.expressions.Window
 
+  /** A store "exists" only once it holds committed parquet data. Path
+    * existence alone is not enough: a crash during the FIRST batch's write
+    * can leave the directory present with no data files, and a raw
+    * spark.read.parquet on it throws 'Unable to infer schema' on every
+    * checkpoint replay — the ingest query could never self-recover.
+    */
   private def storeExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath.getName
+        found = f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".")
+      }
+      found
+    }
   }
 
   /** Latest shard version per bucket — the live (bucket, sketch) index,
@@ -167,22 +182,28 @@ object IndexIngest {
     */
   def compact(spark: SparkSession, storeDir: String): Unit = {
     if (!storeExists(spark, storeDir)) return
-    val keep = spark.read.parquet(storeDir)
+    // distributed end to end: "one row per bucket" bounds the ROW count,
+    // not the bytes — live shards total GBs at scale (the committed 620 M-
+    // k-gram build's shards are ~5 GB), so funnelling them through a
+    // driver collect() is the one thing this maintenance op must not do.
+    // The tmp write fully materializes before the source delete (parquet
+    // jobs commit before returning), so there is no read-after-delete
+    // lineage hazard in the swap below.
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".compact-tmp")
+    spark.read.parquet(storeDir)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("batch_id").desc)))
       .filter(col("__rn") === 1)
       .select(col("bucket"), col("sketch"), col("batch_id"))
-      .collect() // bounded: one row per bucket (nBuckets is small by design)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sketch", org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
-    val compacted = spark.createDataFrame(
-      java.util.Arrays.asList(keep: _*), schema)
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".compact-tmp")
-    compacted.write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // carry the routing sidecar (underscore files are invisible to the
+    // parquet read above) across the swap
+    val sidecar = new org.apache.hadoop.fs.Path(storeDir, "_graft_index.json")
+    if (fs.exists(sidecar))
+      org.apache.hadoop.fs.FileUtil.copy(fs, sidecar, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_index.json"), false,
+        spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
     fs.rename(tmp, new org.apache.hadoop.fs.Path(storeDir))
   }
@@ -218,7 +239,25 @@ object IndexIngest {
       }
       .toDF("bucket", "sketch")
       .withColumn("batch_id", lit(batchId))
-    if (merged.head(1).nonEmpty)
-      merged.write.mode("append").parquet(storeDir)
+    // write unconditionally: a prior head(1) emptiness probe computed the
+    // full merge job (store scan, window dedup, sketch deserialize+merge)
+    // TWICE per micro-batch. An empty batch writes only parquet metadata,
+    // and the committed() guard already makes replays no-ops either way.
+    merged.write.mode("append").parquet(storeDir)
+    // same routing sidecar the CLI's build-index writes: it makes the
+    // ingest store directly queryable by `graft.Cli query-index` (which
+    // otherwise refuses to guess nBuckets) and guards against a future
+    // ingest with mismatched routing. Underscore prefix = invisible to the
+    // parquet reader, like _SUCCESS.
+    val sidecar = new org.apache.hadoop.fs.Path(storeDir, "_graft_index.json")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sidecar)) {
+      val out = fs.create(sidecar, true)
+      out.write((s"""{"nBuckets":$nBuckets,"qBits":${params.qBits},""" +
+        s""""countBits":${params.countBits},"hashBits":${params.hashBits},""" +
+        s""""kTokens":${params.kTokens},"zTokens":${params.zTokens},"seed":${params.seed}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
   }
 }

@@ -151,6 +151,29 @@ class StreamingSpec extends AnyFunSuite {
     val want = all.groupBy(identity).map { case (fp, occ) => fp -> occ.size.toLong }
     assert(got == want, s"index diverged: ${got.size} entries vs ${want.size}")
 
+    // ingest writes the same routing sidecar as Cli build-index, so the
+    // store is directly consumable by query-index
+    assert(new java.io.File(store, "_graft_index.json").exists, "ingest store missing sidecar")
+
+    // the raw store is multi-version (one row per touched bucket per
+    // batch): queryIndex must REFUSE it rather than answer from an
+    // arbitrary shard version...
+    val probes = all.distinct.toDF("fp")
+    val raw = spark.read.parquet(store).select("bucket", "sketch")
+    val ex = intercept[Throwable] {
+      graft.plans.BqfPipeline.queryIndex(raw, probes, params, nBuckets).collect()
+    }
+    def causeChain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causeChain(t.getCause)
+    assert(causeChain(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("multiple sketch rows")),
+      s"expected multi-version refusal, got: $ex")
+    // ...while the live view answers the exact stream counts
+    val answered = graft.plans.BqfPipeline.queryIndex(
+        IndexIngest.currentShards(spark, store), probes, params, nBuckets)
+      .as[(Long, Long)].collect().toMap
+    assert(answered == want, "bucket-routed queries over the live ingest view diverged")
+
     // replaying an already-committed batch is a no-op (exactly-once guard)
     val before = spark.read.parquet(store).count()
     IndexIngest.ingestBatch(phase1.take(100).toDF("fp"), batchId = 0L, params, nBuckets, store)
@@ -171,6 +194,8 @@ class StreamingSpec extends AnyFunSuite {
         IndexIngest.currentShards(spark, store))
       .as[(Long, Long)].collect().toMap
     assert(gotAfter == want)
+    // the routing sidecar survives the compaction rewrite
+    assert(new java.io.File(store, "_graft_index.json").exists, "compact dropped the sidecar")
   }
 
   test("broadcast-sketch query expressions work inside a streaming query") {
