@@ -689,6 +689,45 @@ object Queries {
     dict.join(answered, "fp").select(col("shingle"), col("abundance").as("abund_idx"))
   }
 
+  /** Deletion through an ORDER-OF-MAGNITUDE sketch (ref bqf_oom.cpp:27-108):
+    * oom counters store floor(log2(count)) and cannot meaningfully
+    * subtract, so the reference's oom remove is STRUCTURAL-ONLY — any
+    * remove deletes the slot outright (no partial-decrement branch, unlike
+    * the exact-counter remove q28 exercises). Build the counted oom sketch
+    * over every shingle occurrence (q25's codec), structurally remove every
+    * shingle that appears in any doc_id % 5 == 0 document, then probe all
+    * distinct shingles: removed ones must answer exactly 0 (occupied-bit /
+    * runend repair, back-shifts), survivors the codec's 2^floor(log2(total)).
+    *
+    * Distributed shape = q28's: fingerprints route to buckets by their high
+    * bits, each task owns its bucket's filter, adds/removes/probes all
+    * task-local — the per-shard deletion stream applied to a persisted
+    * shard at 100 TB.
+    */
+  def q31OomRemove(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = BqfParams(qBits = 15, countBits = 6, hashBits = 48,
+      mode = graft.core.CountMode.OrderOfMagnitude, kTokens = 8, zTokens = 0, seed = 0L)
+    val nBuckets = 32
+    val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val perShingle = shingles(spark, dir, ShingleN)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("total"),
+        max((col("doc_id") % 5 === 0).cast("int")).as("hit"))
+      .withColumn("fp", fpOfShingle(col("shingle")))
+    perShingle.select(col("shingle"), col("fp"), col("total"), col("hit"))
+      .as[(String, Long, Long, Int)]
+      .groupByKey { case (_, fp, _, _) => fp >>> shift }
+      .flatMapGroups { (_, it) =>
+        val rows = it.toVector
+        val f = params.fresh()
+        rows.foreach { case (_, fp, total, _) => f.add(fp, total) }
+        rows.foreach { case (_, fp, _, hit) => if (hit == 1) f.remove(fp) }
+        rows.iterator.map { case (sh, fp, _, _) => (sh, f.abundance(fp)) }
+      }
+      .toDF("shingle", "abund_after_oom")
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -724,6 +763,7 @@ object Queries {
     "q28_bqf_remove" -> (q28BqfRemove _),
     "q29_sketch_persist" -> (q29SketchPersist _),
     "q30_index_query" -> (q30IndexQuery _),
+    "q31_oom_remove" -> (q31OomRemove _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -880,6 +920,17 @@ object Queries {
          |       GREATEST(CAST(count(*) AS BIGINT)
          |                - CAST(count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT),
          |                CAST(0 AS BIGINT)) AS abund_after
+         |FROM ($sh8) GROUP BY shingle""".stripMargin,
+    // oom deletion replay: a shingle touched by any doc_id % 5 = 0 document
+    // is structurally removed (oom counters cannot subtract — ref
+    // bqf_oom.cpp:27-108), so it answers 0; survivors answer the oom codec
+    // of their TOTAL occurrence count (removal is all-or-nothing)
+    "q31_oom_remove" ->
+      s"""SELECT shingle,
+         |       CASE WHEN count(*) FILTER (WHERE doc_id % 5 = 0) > 0
+         |            THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(1 AS BIGINT) << (length(bin(count(*))) - 1)
+         |       END AS abund_after_oom
          |FROM ($sh8) GROUP BY shingle""".stripMargin,
     // enumerate is oracle-checked through the abundance histogram, which is
     // invariant under the shingle<->fingerprint bijection
