@@ -69,12 +69,63 @@ object Cli {
         val t0 = System.nanoTime()
         val sketch = BackpackFilter.loadFromFile(opts("-b"))
         val q = new BqfQuery(spark, sketch.serialize())
-        spark.read.parquet(opts("-i"))
-          .withColumn("st", q.sequenceStatsOf(col("tokens")))
-          .select(col("doc_id"), col("st.minimum").as("minimum"),
-            col("st.maximum").as("maximum"), col("st.average").as("average"),
-            col("st.presenceRatio").as("presence_ratio"))
-          .write.mode("overwrite").parquet(opts("-o"))
+        val in = opts("-i")
+        // the reference's query verb is TEXT-in/TEXT-out: a plain file (one
+        // sequence per line) or FASTA ('>'-header dispatch on the first
+        // line), emitting `SequenceN : (min:…, max:…, average:…, presence
+        // ratio:…)` lines (abstract_bqf.cpp:169-191, main.cpp:105-173,
+        // operator<< additional_methods.cpp:312-314). -f text selects that
+        // surface here; a non-parquet regular-file input implies it.
+        val isText = opts.get("-f").contains("text") ||
+          (!in.endsWith(".parquet") && java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(in)))
+        if (isText) {
+          import scala.jdk.CollectionConverters._
+          import spark.implicits._
+          val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(in))
+            .asScala.toVector.filter(_.nonEmpty)
+          // FASTA branch = header lines skipped (the reference assumes
+          // strictly alternating header/sequence records; any '>' line is a
+          // header here). Sequences are whitespace- or comma-separated
+          // integer token ids — this library's alphabet. Numbering is 1..n
+          // in input order; the reference's post-increment emits
+          // "Sequence1" twice (abstract_bqf.cpp:176-186), a cosmetic defect
+          // not replicated (SURVEY §7.4 deviations).
+          val seqs = (if (lines.headOption.exists(_.startsWith(">")))
+            lines.filterNot(_.startsWith(">")) else lines)
+            .zipWithIndex.map { case (s, i) => (i + 1L, s.trim.split("[\\s,]+").map(_.toInt)) }
+          // probes run distributed through the codegen sequence-stats
+          // expression; the ordered text write is driver-side, matching the
+          // reference's single-output-file contract (query files are the
+          // probe set — small by construction)
+          val rows = spark.createDataset(seqs).toDF("seq_no", "tokens")
+            .withColumn("st", q.sequenceStatsOf(col("tokens")))
+            .select(col("seq_no"), col("st.minimum"), col("st.maximum"),
+              col("st.average"), col("st.presenceRatio"))
+            .collect().sortBy(_.getLong(0))
+          // C++ default ostream float formatting: 6 significant digits,
+          // trailing zeros stripped
+          def fmtRef(d: Double): String = {
+            val s = String.format(java.util.Locale.ROOT, "%.6g", Double.box(d))
+            if (s.contains('e') || s.contains('E')) s
+            else if (s.contains('.')) {
+              val t = s.reverse.dropWhile(_ == '0').reverse
+              if (t.endsWith(".")) t.dropRight(1) else t
+            } else s
+          }
+          val out = rows.map(r => s"Sequence${r.getLong(0)} : (min:${r.getLong(1)}, " +
+            s"max:${r.getLong(2)}, average:${fmtRef(r.getDouble(3))}, " +
+            s"presence ratio:${fmtRef(r.getDouble(4))})")
+          java.nio.file.Files.write(java.nio.file.Paths.get(opts("-o")),
+            out.mkString("", "\n", if (out.nonEmpty) "\n" else "").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+        } else {
+          spark.read.parquet(in)
+            .withColumn("st", q.sequenceStatsOf(col("tokens")))
+            .select(col("doc_id"), col("st.minimum").as("minimum"),
+              col("st.maximum").as("maximum"), col("st.average").as("average"),
+              col("st.presenceRatio").as("presence_ratio"))
+            .write.mode("overwrite").parquet(opts("-o"))
+        }
         println(s"Load + queries time = ${(System.nanoTime() - t0) / 1000000}ms")
 
       case "filter" =>

@@ -38,6 +38,53 @@ class CliSpec extends AnyFunSuite {
     assert(res.filter(col("presence_ratio") < 1.0).count() == 0)
   }
 
+  test("query text surface: plain + FASTA inputs emit reference-format stat lines") {
+    // the reference's query verb is text-in/text-out: SequenceN lines with
+    // (min, max, average, presence ratio) per input sequence
+    // (abstract_bqf.cpp:169-191, main.cpp:105-173)
+    if (!new java.io.File(s"$dir/sketch.bqf").exists())
+      Cli.main(Array("build", "-i", s"$dir/tokens.parquet", "-o", s"$dir/sketch.bqf",
+        "-q", "14", "-c", "8", "-k", "8", "-z", "2"))
+    val f = graft.core.BackpackFilter.loadFromFile(s"$dir/sketch.bqf")
+    // three present sequences (real doc token arrays) + one absent-alphabet
+    // line (tokens far outside any built doc's windows)
+    val docs = spark.read.parquet(s"$dir/tokens.parquet")
+      .limit(3).select("tokens").as[Array[Int]].collect()
+    val seqs = docs :+ Array.fill(20)(7) // constant-token 8-grams: never built
+    def fmtRef(d: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.6g", Double.box(d))
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
+    val want = seqs.zipWithIndex.map { case (toks, i) =>
+      val st = f.sequenceStats(toks)
+      s"Sequence${i + 1} : (min:${st.minimum}, max:${st.maximum}, " +
+        s"average:${fmtRef(st.average)}, presence ratio:${fmtRef(st.presenceRatio)})"
+    }.toVector
+
+    val plain = java.nio.file.Paths.get(dir, "queries.txt")
+    java.nio.file.Files.write(plain, seqs.map(_.mkString(" ")).mkString("\n").getBytes)
+    Cli.main(Array("query", "-b", s"$dir/sketch.bqf", "-i", plain.toString,
+      "-o", s"$dir/qtext.out"))
+    val gotPlain = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "qtext.out"))
+    import scala.jdk.CollectionConverters._
+    assert(gotPlain.asScala.toVector == want, s"plain text query mismatch:\n${gotPlain.asScala.mkString("\n")}\nvs\n${want.mkString("\n")}")
+    // absent line must read presence ratio:0
+    assert(gotPlain.asScala.last.endsWith("presence ratio:0)"))
+
+    // FASTA dispatch: '>' headers skipped, same answers
+    val fasta = java.nio.file.Paths.get(dir, "queries.fa")
+    java.nio.file.Files.write(fasta, seqs.zipWithIndex
+      .map { case (s, i) => s">seq$i\n${s.mkString(" ")}" }.mkString("\n").getBytes)
+    Cli.main(Array("query", "-b", s"$dir/sketch.bqf", "-i", fasta.toString,
+      "-o", s"$dir/qfa.out", "-f", "text"))
+    val gotFa = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(dir, "qfa.out"))
+    assert(gotFa.asScala.toVector == want, "FASTA query mismatch")
+  }
+
   test("filter -f text emits decoded k-grams with counts == SQL count>=2") {
     Cli.main(Array("filter", "-i", s"$dir/tokens.parquet", "-o", s"$dir/filtered_txt",
       "-k", "8", "-f", "text"))
