@@ -210,9 +210,14 @@ object BuildJob {
     // ParallelGC + a fixed pre-touched heap + pretenured large arrays keep
     // pause time flat across core counts; pretouch happens before the timed
     // section (BuildJob times only the Spark job itself).
+    // executor-sized fork (same rationale as CoreScale.forked): GC threads
+    // and ActiveProcessorCount scale with the measured core count — a
+    // cluster executor pinned to N cores gets N cores for GC/JIT/netty,
+    // and a fixed-8-GC-thread fork lends small levels hidden parallelism
     val cmd = Seq(javaBin) ++ opens ++ Seq(
       s"-Xms$heap", s"-Xmx$heap",
-      "-XX:+UseParallelGC", "-XX:ParallelGCThreads=8",
+      "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=${math.min(8, math.max(2, cpus))}",
+      s"-XX:ActiveProcessorCount=$cpus",
       "-XX:+AlwaysPreTouch", "-XX:PretenureSizeThreshold=1048576",
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
