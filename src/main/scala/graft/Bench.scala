@@ -187,7 +187,8 @@ object Bench {
         "q19_tokens_per_source", "q20_tokens_seq_stats", "q21_sketch_compare",
         "q22_quantiles", "q23_enumerate_index", "q24_embedding_ivf",
         "q25_bqf_oom_abundance", "q26_cf_second_emit", "q27_embedding_neardup",
-        "q28_bqf_remove", "q29_sketch_persist", "q30_index_query", "q31_oom_remove")
+        "q28_bqf_remove", "q29_sketch_persist", "q30_index_query", "q31_oom_remove",
+        "q32_stream_ingest")
       val gCat0 = gcMs()
       catalog.foreach { name =>
         val fn = SparkEntry.queries(name)

@@ -728,6 +728,53 @@ object Queries {
       .toDF("shingle", "abund_after_oom")
   }
 
+  /** STREAMING ingest under q01's exact oracle: the corpus arrives as a
+    * Structured Streaming file source split into multiple micro-batches
+    * (maxFilesPerTrigger=1 + AvailableNow), each batch's fingerprints merged
+    * into the persisted multi-version shard store by the same
+    * [[graft.streaming.IndexIngest.ingestBatch]] that
+    * [[graft.streaming.StreamingOps.indexIngest]]'s foreachBatch invokes;
+    * answers come back bucket-routed through the live view
+    * (currentShards -> queryIndex, no broadcast, no merge-to-one). Counts
+    * are exact because cross-batch shard merges ADD counters (saturation
+    * untouched at this scale), so the result must hash-match the batch
+    * abundance oracle — the streaming twin of q30's batch build.
+    *
+    * At 100 TB this is the continuous-corpus lifecycle made driver-visible
+    * end to end: ingest touches only the buckets a batch hits, the store is
+    * append-only parquet, and queries never depend on WHICH batch boundary
+    * a document landed on (merge associativity, property-tested, is what
+    * makes the answer split-invariant).
+    */
+  def q32StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 32
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q32").toString
+    val inDir = s"$tmp/in"; val store = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+    val d = docs(spark, dir).filter(length(col("text")) >= ShingleN)
+    // stage the corpus as several files so AvailableNow replays it as
+    // MULTIPLE micro-batches: the store then goes through real cross-batch
+    // shard merges, not one bulk append
+    d.repartition(4).write.parquet(inDir)
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val fps = stream.select(explode(shingle_fingerprints(
+      col("text"), ShingleN, TextParams.hashBits, TextParams.seed)).as("fp"))
+    val q = fps.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.IndexIngest.ingestBatch(batch, batchId, TextParams, nBuckets, store)
+      }
+      .start()
+    q.awaitTermination()
+    val dict = shingles(spark, dir, ShingleN).select("shingle").distinct()
+      .select(col("shingle"), fpOfShingle(col("shingle")).as("fp"))
+    val answered = BqfPipeline.queryIndex(
+      graft.streaming.IndexIngest.currentShards(spark, store),
+      dict.select("fp"), TextParams, nBuckets)
+    dict.join(answered, "fp").select(col("shingle"), col("abundance").as("abund_stream"))
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -764,6 +811,7 @@ object Queries {
     "q29_sketch_persist" -> (q29SketchPersist _),
     "q30_index_query" -> (q30IndexQuery _),
     "q31_oom_remove" -> (q31OomRemove _),
+    "q32_stream_ingest" -> (q32StreamIngest _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -779,6 +827,12 @@ object Queries {
     // probes (no broadcast, no merge)
     "q30_index_query" ->
       s"SELECT shingle, count(*) AS abund_idx FROM ($sh8) GROUP BY shingle",
+    // identical counts again, but the corpus arrived as a STREAM: multiple
+    // micro-batches merged into the persisted multi-version store, answers
+    // bucket-routed off the live view — exactness holds because cross-batch
+    // merges add counters (split-invariant by merge associativity)
+    "q32_stream_ingest" ->
+      s"SELECT shingle, count(*) AS abund_stream FROM ($sh8) GROUP BY shingle",
     "q02_bqf_filter_ge2" ->
       s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
     "q03_bqf_membership" ->

@@ -181,22 +181,34 @@ object IndexIngest {
     * itself must be stopped (same rule as any parquet rewrite).
     */
   def compact(spark: SparkSession, storeDir: String): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".compact-tmp")
+    val aside = new org.apache.hadoop.fs.Path(storeDir + ".compact-old")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a prior compact that died mid-swap left the original
+    // store renamed aside (complete — the aside rename happens only after
+    // the tmp write commits, and a crash can strike between the two
+    // renames). Restore it and redo the compaction from scratch; the tmp
+    // from that run is discarded below like any other stale tmp.
+    if (!storeExists(spark, storeDir) && fs.exists(aside)) {
+      fs.delete(store, true) // at most an empty shell from the failed swap
+      fs.rename(aside, store)
+    }
     if (!storeExists(spark, storeDir)) return
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     // distributed end to end: "one row per bucket" bounds the ROW count,
     // not the bytes — live shards total GBs at scale (the committed 620 M-
     // k-gram build's shards are ~5 GB), so funnelling them through a
     // driver collect() is the one thing this maintenance op must not do.
-    // The tmp write fully materializes before the source delete (parquet
-    // jobs commit before returning), so there is no read-after-delete
-    // lineage hazard in the swap below.
-    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".compact-tmp")
+    // The tmp write fully materializes before the swap (parquet jobs
+    // commit before returning), so there is no read-after-delete lineage
+    // hazard below.
     spark.read.parquet(storeDir)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("batch_id").desc)))
       .filter(col("__rn") === 1)
       .select(col("bucket"), col("sketch"), col("batch_id"))
       .write.mode("overwrite").parquet(tmp.toString)
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // carry the routing sidecar (underscore files are invisible to the
     // parquet read above) across the swap
     val sidecar = new org.apache.hadoop.fs.Path(storeDir, "_graft_index.json")
@@ -204,8 +216,15 @@ object IndexIngest {
       org.apache.hadoop.fs.FileUtil.copy(fs, sidecar, fs,
         new org.apache.hadoop.fs.Path(tmp, "_graft_index.json"), false,
         spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(storeDir))
+    // swap via rename-aside, never delete-then-rename: the original store
+    // stays intact on disk until the compacted tmp is in place, so no
+    // crash point loses data (worst case: store absent for the instant
+    // between the renames, with BOTH complete copies on disk — and the
+    // recovery block above heals it on the next compact call).
+    if (fs.exists(aside)) fs.delete(aside, true)
+    fs.rename(store, aside)
+    fs.rename(tmp, store)
+    fs.delete(aside, true)
   }
 
   /** Merge one batch of fingerprints (column `fp`) into the store. Safe to

@@ -196,6 +196,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotAfter == want)
     // the routing sidecar survives the compaction rewrite
     assert(new java.io.File(store, "_graft_index.json").exists, "compact dropped the sidecar")
+
+    // crash-mid-swap recovery: compact's swap is rename-aside (store ->
+    // .compact-old, tmp -> store) — a crash between the two renames leaves
+    // the store path ABSENT with the complete original at .compact-old.
+    // Simulate exactly that state and assert the next compact heals it.
+    val storeP = new org.apache.hadoop.fs.Path(store)
+    val asideP = new org.apache.hadoop.fs.Path(store + ".compact-old")
+    val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(storeP, asideP)
+    assert(!fs.exists(storeP))
+    IndexIngest.compact(spark, store)
+    assert(fs.exists(storeP) && !fs.exists(asideP), "mid-swap crash not healed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".compact-tmp")))
+    val liveHealed = IndexIngest.currentShards(spark, store)
+      .as[(Long, Array[Byte])].collect().map { case (b, s) => b -> s.toVector }.toMap
+    assert(liveHealed == liveBefore, "live index changed across crash recovery")
+    assert(new java.io.File(store, "_graft_index.json").exists, "recovery dropped the sidecar")
   }
 
   test("broadcast-sketch query expressions work inside a streaming query") {
