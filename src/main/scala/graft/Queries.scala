@@ -775,6 +775,45 @@ object Queries {
     dict.join(answered, "fp").select(col("shingle"), col("abundance").as("abund_stream"))
   }
 
+  /** The reference's ONLINE counting filter (bqf_cf.cpp:119-205) as a real
+    * streaming query under q02's exact oracle: fingerprints arrive in
+    * micro-batches, [[graft.streaming.StreamingOps.secondOccurrences]]
+    * keeps sharded BQF state via flatMapGroupsWithState and emits each
+    * fingerprint exactly when its SECOND occurrence is seen. The emitted
+    * SET is batching-invariant — a fingerprint's count crosses 2 exactly
+    * once no matter where the micro-batch boundaries fall — so the result
+    * must hash-match the batch `HAVING count >= 2` oracle. q26 proves the
+    * same semantics on the batch path; this entry proves the stateful
+    * streaming operator itself (state round-trips through the store between
+    * micro-batches, emission deduplicates across them).
+    */
+  def q33StreamSecondEmit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q33").toString
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
+    val d = docs(spark, dir).filter(length(col("text")) >= ShingleN)
+    // several input files -> several micro-batches: second occurrences that
+    // STRADDLE a batch boundary only emit if the sharded state really
+    // persisted across batches
+    d.repartition(4).write.parquet(inDir)
+    val fps = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select(explode(shingle_fingerprints(
+        col("text"), ShingleN, TextParams.hashBits, TextParams.seed)).as("fp"))
+      .as[Long]
+    val emitted = graft.streaming.StreamingOps.secondOccurrences(
+      fps, nShards = 32, qBits = 10, hashBits = TextParams.hashBits)
+    val q = emitted.toDF("fp").writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+    q.awaitTermination()
+    val dict = shingles(spark, dir, ShingleN).select("shingle").distinct()
+      .select(col("shingle"), fpOfShingle(col("shingle")).as("fp"))
+    dict.join(spark.read.parquet(outDir), "fp").select("shingle")
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -812,6 +851,7 @@ object Queries {
     "q30_index_query" -> (q30IndexQuery _),
     "q31_oom_remove" -> (q31OomRemove _),
     "q32_stream_ingest" -> (q32StreamIngest _),
+    "q33_stream_second_emit" -> (q33StreamSecondEmit _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -833,6 +873,10 @@ object Queries {
     // merges add counters (split-invariant by merge associativity)
     "q32_stream_ingest" ->
       s"SELECT shingle, count(*) AS abund_stream FROM ($sh8) GROUP BY shingle",
+    // the streaming second-occurrence filter's emitted set == every shingle
+    // seen at least twice, no matter where micro-batch boundaries fall
+    "q33_stream_second_emit" ->
+      s"SELECT shingle FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
     "q02_bqf_filter_ge2" ->
       s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
     "q03_bqf_membership" ->
