@@ -314,8 +314,13 @@ object Bench {
       val store = tmpDir.toString + "/store"
       val docsDf = TokensTable.dataframe(spark, ingestDocs, partitions = cpus)
       val ifps = sgram_fingerprints(col("tokens"), ip.sTokens, ip.hashBits, ip.seed)
+      // cache the synthetic source: a real stream HANDS each micro-batch its
+      // data — without this, every ingestBatch call would re-run the full
+      // fingerprint explode over all docs and the "ingest" number would
+      // charge N× input generation to the store-merge path being measured
       val allFps = docsDf.select(
         substring(col("doc_id"), 4, 8).cast("long").as("i"), explode(ifps).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nFps = allFps.count()
       val perBatch = (ingestDocs + ingestBatches - 1) / ingestBatches
       val g0 = gcMs()
@@ -340,6 +345,7 @@ object Bench {
         while (it.hasNext) t += it.next().getLen
         t
       }
+      allFps.unpersist(blocking = false)
       org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
       results += "ingest" -> ingestSec
       phaseGc += "ingest" -> (gcMs() - g0)

@@ -891,9 +891,14 @@ final class BackpackFilter(
       "cannot merge filters with different parameters")
     // bulk path for real shard merges: gather + sort + one sequential build,
     // O(n) regardless of load factor (per-insert merge degrades badly on
-    // dense tables — the shift window grows with cluster length). Small
-    // merges keep the incremental path (also exercises it under test).
-    if (nDistinct + other.nDistinct > 4096) adopt(BackpackFilter.mergeAll(Seq(this, other)))
+    // dense tables — the shift window grows with cluster length). But when
+    // `other` is SMALL relative to this filter — the steady-state shape of
+    // streaming ingest, where a micro-batch delta folds into a large shard
+    // (IndexIngest.ingestBatch) — the incremental path costs
+    // O(|other| × cluster) instead of the rebuild's O(|this| + |other|),
+    // turning per-batch merge cost from O(store) into O(batch).
+    if (other.nDistinct > math.max(4096L, nDistinct / 8))
+      adopt(BackpackFilter.mergeAll(Seq(this, other)))
     else other.foreachRaw((fp, stored) => this.addEncoded(fp, stored, mergePath = true))
     this
   }

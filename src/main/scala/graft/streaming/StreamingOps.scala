@@ -150,6 +150,32 @@ object IndexIngest {
     }
   }
 
+  /** Latest (bucket, sketch, batch_id) row per bucket, blob scan pruned to
+    * candidate files first: every ingest batch appends its own parquet
+    * file(s) with a CONSTANT batch_id, so footer min==max stats let a
+    * literal `isin` filter over the per-bucket max ids skip every
+    * superseded file entirely. Without it, each steady-state batch re-reads
+    * the sketch blobs of ALL versions ever written (O(batches) per batch
+    * until compaction); with it the blob scan is O(live shards). The id
+    * collect is bounded by min(nBuckets, live batches) longs. The window
+    * dedup still runs — different buckets peak at different ids and an old
+    * version can share a surviving file's id — but over ~|live| rows.
+    */
+  private def liveBatchIds(store: DataFrame): Array[Long] =
+    store.select(col("bucket"), col("batch_id"))
+      .groupBy("bucket").agg(max("batch_id").as("batch_id"))
+      .select("batch_id").distinct().collect().map(_.getLong(0))
+
+  private def latestRows(store: DataFrame, liveIds: Array[Long]): DataFrame =
+    store.filter(col("batch_id").isin(liveIds.map(Long.box): _*))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("batch_id").desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  private def latestRows(store: DataFrame): DataFrame =
+    latestRows(store, liveBatchIds(store))
+
   /** Latest shard version per bucket — the live (bucket, sketch) index,
     * directly consumable by [[graft.plans.BqfPipeline.enumerateIndex]] and
     * by bucket-routed point queries.
@@ -159,10 +185,7 @@ object IndexIngest {
       return spark.emptyDataFrame
         .withColumn("bucket", lit(0L)).withColumn("sketch", lit(Array.empty[Byte]))
         .limit(0)
-    spark.read.parquet(storeDir)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("bucket")).orderBy(col("batch_id").desc)))
-      .filter(col("__rn") === 1)
+    latestRows(spark.read.parquet(storeDir))
       .select(col("bucket"), col("sketch"))
   }
 
@@ -203,10 +226,7 @@ object IndexIngest {
     // The tmp write fully materializes before the swap (parquet jobs
     // commit before returning), so there is no read-after-delete lineage
     // hazard below.
-    spark.read.parquet(storeDir)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("bucket")).orderBy(col("batch_id").desc)))
-      .filter(col("__rn") === 1)
+    latestRows(spark.read.parquet(storeDir))
       .select(col("bucket"), col("sketch"), col("batch_id"))
       .write.mode("overwrite").parquet(tmp.toString)
     // carry the routing sidecar (underscore files are invisible to the
@@ -236,7 +256,26 @@ object IndexIngest {
     require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0, "nBuckets must be a power of 2")
     val spark = batch.sparkSession
     import spark.implicits._
-    if (committed(spark, storeDir, batchId)) return
+    // ONE store read and ONE driver-side metadata job serve both the replay
+    // guard and the live-shard file pruning (separate committed() +
+    // currentShards() calls would scan the store three times per
+    // micro-batch). The agg touches only the two tiny columns — parquet
+    // column pruning keeps the sketch blobs out of it — and its collect is
+    // bounded by nBuckets rows.
+    val store = if (storeExists(spark, storeDir)) spark.read.parquet(storeDir) else null
+    val meta =
+      if (store == null) Array.empty[org.apache.spark.sql.Row]
+      else store.groupBy("bucket").agg(
+        max("batch_id").as("mx"),
+        max(when(col("batch_id") === batchId, 1L).otherwise(0L)).as("seen")).collect()
+    if (meta.exists(_.getLong(2) == 1L)) return // replay: batchId already committed
+    val live =
+      if (store == null)
+        spark.emptyDataFrame
+          .withColumn("bucket", lit(0L)).withColumn("sketch", lit(Array.empty[Byte]))
+          .limit(0)
+      else latestRows(store, meta.map(_.getLong(1)).distinct)
+        .select(col("bucket"), col("sketch"))
     val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     // pre-aggregate: the exchange carries one (fp, count) per distinct
     // fingerprint per batch, and the UDAF does counted inserts
@@ -246,14 +285,21 @@ object IndexIngest {
       .withColumn("bucket", shiftrightunsigned(col("fp"), shift))
       .groupBy("bucket").agg(bqf(col("fp"), col("cnt")).as("partial"))
     val merged = partials
-      .join(currentShards(spark, storeDir), Seq("bucket"), "left_outer")
+      .join(live, Seq("bucket"), "left_outer")
       .select(col("bucket"), col("partial"), col("sketch"))
       .as[(Long, Array[Byte], Array[Byte])]
       .map { case (bucket, partial, old) =>
         val sketch =
           if (old == null) partial
-          else BackpackFilter.mergeAll(Seq(
-            BackpackFilter.deserialize(old), BackpackFilter.deserialize(partial))).serialize()
+          else {
+            // big absorbs small: steady-state batches are deltas against a
+            // much larger shard, and mergeInPlace folds the small side in
+            // incrementally — O(batch) per bucket, not O(store)
+            val a = BackpackFilter.deserialize(old)
+            val b = BackpackFilter.deserialize(partial)
+            (if (a.distinctCount >= b.distinctCount) a.mergeInPlace(b)
+             else b.mergeInPlace(a)).serialize()
+          }
         (bucket, sketch)
       }
       .toDF("bucket", "sketch")

@@ -473,6 +473,32 @@ class MergeSpec extends AnyFunSuite {
     assert(b2.mergeInPlace(a2).enumerate() == expect)
   }
 
+  test("repeated small-delta merges into a large shard equal one-shot build (ingest shape)") {
+    // steady-state streaming ingest: each micro-batch folds a small delta
+    // into a much larger shard. mergeInPlace takes the incremental
+    // O(delta × cluster) path there (other ≤ max(4096, this/8)) — verify it
+    // agrees with the single-filter build, counts included, with deltas that
+    // overlap already-present fingerprints (counter merges) and new ones
+    // (slot inserts), across the auto-resizes the growth forces.
+    val hashBits = 36
+    val base = freshEntries(12000, 77, hashBits)
+    val deltas = (0 until 6).map { i =>
+      // half of each delta re-touches base fps (count bumps), half is fresh
+      val overlap = base.slice(i * 300, i * 300 + 300).map { case (fp, c) => (fp, 1L) }
+      overlap ++ freshEntries(300, 1000 + i, hashBits).map { case (fp, c) => (fp, c) }
+    }
+    val shard = build(base, 10, 6, hashBits)
+    deltas.foreach { d =>
+      val delta = build(d, 8, 6, hashBits)
+      assert(delta.distinctCount <= math.max(4096L, shard.distinctCount / 8)) // incremental path
+      shard.mergeInPlace(delta)
+    }
+    val all = (base ++ deltas.flatten).groupBy(_._1).toSeq
+      .map { case (fp, cs) => (fp, cs.map(_._2).sum) }
+    val expect = build(all, 15, 6, hashBits).enumerate()
+    assert(shard.enumerate() == expect)
+  }
+
   test("oom merge takes max exponent (mergeable extension)") {
     val f1 = BackpackFilter(qBits = 7, countBits = 4, hashBits = 20, mode = CountMode.OrderOfMagnitude)
     val f2 = BackpackFilter(qBits = 7, countBits = 4, hashBits = 20, mode = CountMode.OrderOfMagnitude)
