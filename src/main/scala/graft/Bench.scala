@@ -188,7 +188,7 @@ object Bench {
         "q22_quantiles", "q23_enumerate_index", "q24_embedding_ivf",
         "q25_bqf_oom_abundance", "q26_cf_second_emit", "q27_embedding_neardup",
         "q28_bqf_remove", "q29_sketch_persist", "q30_index_query", "q31_oom_remove",
-        "q32_stream_ingest", "q33_stream_second_emit")
+        "q32_stream_ingest", "q33_stream_second_emit", "q34_decontaminate")
       val gCat0 = gcMs()
       catalog.foreach { name =>
         val fn = SparkEntry.queries(name)

@@ -814,6 +814,41 @@ object Queries {
     dict.join(spark.read.parquet(outDir), "fp").select("shingle")
   }
 
+  /** Minimum distinct overlapping shingles before a training document is
+    * flagged as contaminated (the sf0.01 corpus puts every truly
+    * overlapping doc far above this — see BENCH/PLANS_r5.md).
+    */
+  val DeconThreshold = 20
+
+  /** q34: benchmark decontamination — THE production use of a membership
+    * sketch in a training-data pipeline. The held-out set (doc_id % 13 == 0,
+    * standing in for an eval benchmark) is indexed into a BQF; the training
+    * corpus streams its shingles through the broadcast sketch's codegen
+    * membership expression and any document sharing >= [[DeconThreshold]]
+    * distinct shingles with the held-out set is flagged with its overlap
+    * count. The contains() filter runs BEFORE the (doc_id, shingle)
+    * distinct, so only contaminated shingle occurrences ever reach a
+    * shuffle — at 100 TB the scan stays map-side except for the survivors.
+    * Exact vs the SQL oracle for the same reason as q01/q03: r >= 28 makes
+    * false positives on these probe cardinalities vanishingly unlikely.
+    */
+  def q34Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bytes = sketchCache.computeIfAbsent(s"decon|$dir|$TextParams|$ShingleN", _ => {
+      val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
+      val shards = BqfPipeline.buildIndexSorted(
+        docs(spark, dir).filter(col("doc_id") % 13 === 0 && length(col("text")) >= ShingleN),
+        fps, TextParams, nBuckets = 32)
+      BqfPipeline.treeMerge(shards, 32, fanout = 16)
+    })
+    val q = new BqfQuery(spark, bytes)
+    shingles(spark, dir, ShingleN)
+      .filter(col("doc_id") % 13 =!= 0)
+      .filter(q.containsOf(fpOfShingle(col("shingle"))))
+      .select("doc_id", "shingle").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= DeconThreshold)
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -852,6 +887,7 @@ object Queries {
     "q31_oom_remove" -> (q31OomRemove _),
     "q32_stream_ingest" -> (q32StreamIngest _),
     "q33_stream_second_emit" -> (q33StreamSecondEmit _),
+    "q34_decontaminate" -> (q34Decontaminate _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -877,6 +913,17 @@ object Queries {
     // seen at least twice, no matter where micro-batch boundaries fall
     "q33_stream_second_emit" ->
       s"SELECT shingle FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
+    // decontamination: training docs sharing >= DeconThreshold distinct
+    // shingles with the held-out (doc_id % 13 == 0) set, with the overlap
+    // count — the sketch's membership answers replayed as an exact join
+    "q34_decontaminate" ->
+      s"""WITH sh AS ($sh8),
+         |test AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+         |hits AS (SELECT DISTINCT s.doc_id, s.shingle
+         |         FROM sh s JOIN test t ON s.shingle = t.shingle
+         |         WHERE s.doc_id % 13 <> 0)
+         |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id
+         |HAVING count(*) >= $DeconThreshold""".stripMargin,
     "q02_bqf_filter_ge2" ->
       s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
     "q03_bqf_membership" ->
