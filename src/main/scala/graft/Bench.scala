@@ -324,12 +324,19 @@ object Bench {
       val nFps = allFps.count()
       val perBatch = (ingestDocs + ingestBatches - 1) / ingestBatches
       val g0 = gcMs()
+      // per-batch walls: the steady-state claim (cost flat in store age, not
+      // growing) should be visible in the committed artifact, not just in
+      // ad-hoc probe logs
+      val batchSecs = new Array[Double](ingestBatches)
       val (_, ingestSec) = time {
         (0 until ingestBatches).foreach { b =>
           val lo = b * perBatch; val hi = math.min((b + 1L) * perBatch, ingestDocs)
-          graft.streaming.IndexIngest.ingestBatch(
-            allFps.filter(col("i") >= lo && col("i") < hi).select("fp"),
-            batchId = b.toLong, ip, ingestBuckets, store)
+          val (_, s) = time {
+            graft.streaming.IndexIngest.ingestBatch(
+              allFps.filter(col("i") >= lo && col("i") < hi).select("fp"),
+              batchId = b.toLong, ip, ingestBuckets, store)
+          }
+          batchSecs(b) = s
         }
       }
       // one-shot batch build of the identical input, same shard count
@@ -352,7 +359,10 @@ object Bench {
       ingestJson = s""","ingest":{"fps":$nFps,"batches":$ingestBatches,""" +
         s""""sec":${fmt4(ingestSec)},"fps_per_sec":${(nFps / ingestSec).toLong},""" +
         s""""batch_build_fps_per_sec":${(nFps / buildOnceSec).toLong},""" +
+        s""""first_batch_sec":${fmt4(batchSecs.head)},""" +
+        s""""last_batch_sec":${fmt4(batchSecs.last)},""" +
         s""""store_mb_after_compact":${storeBytes / (1024 * 1024)}}"""
+      detailExtra += s""""ingest_batch_secs":[${batchSecs.map(fmt4).mkString(",")}]"""
       System.err.println(f"[bench] ingest: $nFps fps / $ingestBatches batches in $ingestSec%.1f s " +
         f"(${nFps / ingestSec / 1e6}%.2f M/s vs one-shot ${nFps / buildOnceSec / 1e6}%.2f M/s)")
     }
