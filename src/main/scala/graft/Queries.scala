@@ -234,6 +234,47 @@ object Queries {
   def q11DocFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), md5(col("text")).as("fp_md5"))
 
+  /** q35: intra-document repetition scoring — the repeated-n-gram quality
+    * filters of a large-scale training-data pipeline (the Gopher-style
+    * "fraction of duplicate n-grams" / "most common n-gram" family; Rae et
+    * al. 2021, table A1). Every metric is a per-row higher-order function
+    * over the document's own word array: duplicate fractions via
+    * `size - size(array_distinct)`, the top-3-gram occurrence count via a
+    * run-length `aggregate` over the SORTED gram array (O(w log w) per doc
+    * — not the O(w^2) count-each-distinct shape). Zero shuffle, fully
+    * codegen, embarrassingly parallel: at 100 TB this is a pure map over
+    * the corpus scan, the ideal quality-filter plan.
+    */
+  def q35Repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("ws", expr("regexp_extract_all(text, '[a-z]+', 0)"))
+      .withColumn("g2", expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws)-1),
+          |                 i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("g3", expr(
+        """CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(1, size(ws)-2),
+          |                 i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        expr("CASE WHEN size(g2) = 0 THEN 0.0D ELSE CAST(size(g2) - size(array_distinct(g2)) AS DOUBLE) / size(g2) END")
+          .as("dup_2gram_frac"),
+        expr("CASE WHEN size(g3) = 0 THEN 0.0D ELSE CAST(size(g3) - size(array_distinct(g3)) AS DOUBLE) / size(g3) END")
+          .as("dup_3gram_frac"),
+        expr(
+          """aggregate(array_sort(g3),
+            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            |  (a, x) -> named_struct(
+            |    'prev', x,
+            |    'run', IF(a.prev <=> x, a.run + 1L, 1L),
+            |    'best', greatest(a.best, IF(a.prev <=> x, a.run + 1L, 1L))),
+            |  a -> a.best)""".stripMargin).as("top_3gram_count"))
+
   // =====================================================================
   // q12-q15: relational coverage (agg / join / window / sessionize)
   // =====================================================================
@@ -888,6 +929,7 @@ object Queries {
     "q32_stream_ingest" -> (q32StreamIngest _),
     "q33_stream_second_emit" -> (q33StreamSecondEmit _),
     "q34_decontaminate" -> (q34Decontaminate _),
+    "q35_repetition" -> (q35Repetition _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -924,6 +966,26 @@ object Queries {
          |         WHERE s.doc_id % 13 <> 0)
          |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id
          |HAVING count(*) >= $DeconThreshold""".stripMargin,
+    "q35_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ws) >= 2 THEN list_transform(generate_series(1, len(ws)-1),
+        |          i -> ws[i] || ' ' || ws[i+1]) ELSE []::VARCHAR[] END AS g2,
+        |        CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws)-2),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE []::VARCHAR[] END AS g3
+        |      FROM w),
+        |m AS (SELECT doc_id,
+        |        CAST(len(g2) AS BIGINT) AS n_2grams, CAST(len(list_distinct(g2)) AS BIGINT) AS d2,
+        |        CAST(len(g3) AS BIGINT) AS n_3grams, CAST(len(list_distinct(g3)) AS BIGINT) AS d3,
+        |        g3 FROM g),
+        |ex AS (SELECT doc_id, unnest(g3) AS gram FROM m),
+        |top AS (SELECT doc_id, max(c) AS top3
+        |        FROM (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2) GROUP BY 1)
+        |SELECT m.doc_id, n_2grams, n_3grams,
+        |  CASE WHEN n_2grams = 0 THEN 0.0 ELSE CAST(n_2grams - d2 AS DOUBLE) / n_2grams END AS dup_2gram_frac,
+        |  CASE WHEN n_3grams = 0 THEN 0.0 ELSE CAST(n_3grams - d3 AS DOUBLE) / n_3grams END AS dup_3gram_frac,
+        |  COALESCE(top.top3, 0) AS top_3gram_count
+        |FROM m LEFT JOIN top ON m.doc_id = top.doc_id""".stripMargin,
     "q02_bqf_filter_ge2" ->
       s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
     "q03_bqf_membership" ->
