@@ -394,7 +394,11 @@ object Bench {
       val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "1,2,4,8,16")
         .split(",").map(_.trim.toInt).distinct.sorted
       val coreTrials = sys.env.getOrElse("SPARK_GRAFT_CORE_TRIALS", "5").toInt
-      val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "3").toInt
+      // 4 e2e sweeps (was 3): the clean-window estimator needs one sweep
+      // where both pair endpoints are undisturbed, and with the warm-up in
+      // place each extra sweep costs ~3 min while the mid-level steal noise
+      // (2-2.5x, minutes-long episodes) still poisons whole sweeps at a time
+      val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "4").toInt
 
       // Trials are SWEEPS: each sweep measures every level back-to-back in
       // one time window. Host noise distorts a pair ratio in BOTH
