@@ -110,7 +110,10 @@ object Bench {
     var kgrams = 0L
     var buildSec = 0.0
     if (phases("build")) {
-      val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+      // 4 fresh-JVM trials (was 3): a single multi-minute steal episode can
+      // swallow three consecutive forks (rehearsal 5 measured 9.4/33.8/21.3 s
+      // for identical work); a fourth ~7 s trial is cheap insurance
+      val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "4").toInt
       val headline = (1 to trials).map { i =>
         val r = BuildJob.forked(cpus, benchRows, nBuckets, heap)
         System.err.println(f"[bench] build trial $i: ${r._1}%.2f s (forked-JVM gc ${r._3} ms)")
@@ -144,7 +147,11 @@ object Bench {
     var nProbes = 0L
     var probeSec = 0.0
     if (phases("probe")) {
-      val probeTrials = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIALS", "3").toInt
+      // 5 trials (was 3): the codegen'd probe path is still JIT-warming at
+      // trial 3 (a rehearsal measured 1.06 -> 0.58 -> 0.29 s); trials cost
+      // well under a second each once warm, and the min should sample the
+      // plateau, not the warm-up slope
+      val probeTrials = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIALS", "5").toInt
       bq // force the (untimed) sketch build before the first trial
       val g0 = gcMs()
       val trials = (1 to probeTrials).map { i =>
