@@ -102,13 +102,90 @@ object Bench {
     // key-value fragments appended to the detail artifact (NOT the stdout line)
     val detailExtra = scala.collection.mutable.ArrayBuffer.empty[String]
 
+    // All phase outputs live up here (not at their phase) so the artifact
+    // emitter — and the abort shutdown hook — can read whatever completed.
+    var kgrams = 0L
+    var buildSec = 0.0
+    var nProbes = 0L
+    var probeSec = 0.0
+    var catalogSec = 0.0
+    var catalogN = 0
+    var catalogFailed = 0
+    var fpJson = ""
+    var recallJson = ""
+    var ingestJson = ""
+    var scalingJson = ""
+
+    /** Assemble + write the detail artifact and print the stdout headline
+      * from whatever phases have completed. Runs once: either at normal
+      * completion, or — with `"aborted":true` on the line — from a shutdown
+      * hook when the harness kills the JVM mid-phase (e.g. an external
+      * timeout during the scaling sweeps). A partial-but-parseable artifact
+      * beats round 4's `parsed: null`.
+      */
+    val artifactEmitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitArtifact(aborted: Boolean): Unit = {
+      if (!artifactEmitted.compareAndSet(false, true)) return
+      val total = results.values.filter(_ >= 0).sum
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // self-diagnosing artifact: the harness JVM's actual heap + collector +
+      // per-phase GC-time deltas ride in the JSON, so a GC-roulette anomaly
+      // (round-2's 368 s catalog under 90g default-G1) is attributable from
+      // the artifact alone
+      val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      val gcNames = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      val gc = {
+        val it = gcNames.iterator(); val b = new StringBuilder
+        while (it.hasNext) { if (b.nonEmpty) b += '+'; b ++= it.next().getName.replace(' ', '_') }
+        b.toString
+      }
+      val gcJson = phaseGc.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val buildJson = if (phases("build") && buildSec > 0)
+        s""","kgrams":$kgrams,"bqf_build_kgrams_per_sec":${(kgrams / buildSec).toLong}""" else ""
+      val probeJson = if (phases("probe") && probeSec > 0)
+        s""","point_probes":$nProbes,"point_queries_per_sec":${(nProbes / probeSec).toLong}""" else ""
+      val catJson = if (phases("catalog") && catalogN > 0)
+        s""","catalog_sec":${fmt4(catalogSec)},"catalog_n":$catalogN,"catalog_failed":$catalogFailed""" else ""
+
+      // Artifact contract (round 4's one defect, VERDICT next-round #1): the
+      // stdout line must survive the driver's ~2.2 KB tail capture, so it
+      // carries ONLY the headline fields — budget <= 1.5 KB. The 35-entry
+      // per-query map, per-phase GC deltas, full scaling levels, and every
+      // raw sweep go to the detail artifact: a written JSON file (default
+      // BENCH/DETAIL.json in the repo, committed per round as DETAIL_rN.json)
+      // AND stderr, both emitted BEFORE the stdout line so a combined-stream
+      // tail capture always ends with the parseable headline.
+      val detailJson =
+        s"""{"queries":$qs,"phase_gc_ms":$gcJson,"sf":"$sfDir","cpus":$cpus""" +
+        (if (detailExtra.isEmpty) "" else detailExtra.mkString(",", ",", "")) + "}"
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH", "/root/repo/BENCH/DETAIL.json")
+      try {
+        val p = java.nio.file.Paths.get(detailPath)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, (detailJson + "\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Exception => System.err.println(s"[bench] detail write failed: $e") }
+      System.err.println(s"[bench] detail: $detailJson")
+
+      val abortJson = if (aborted) ""","aborted":true""" else ""
+      val line =
+        s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","sf":"$sfDir"""" +
+        s""","cpus":$cpus,"bench_rows":$benchRows$buildJson$probeJson$catJson""" +
+        s"""$fpJson$recallJson$ingestJson$scalingJson$abortJson""" +
+        s""","harness_heap_mb":$heapMb,"harness_gc":"$gc"""" +
+        s""","gc_ms":${phaseGc.values.sum},"detail":"$detailPath"}"""
+      if (line.length > 1536)
+        System.err.println(s"[bench] WARNING: stdout line ${line.length} B exceeds the 1.5 KB budget")
+      println(line)
+      System.out.flush()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emitArtifact(aborted = true)))
+
     // 1. headline: sharded BQF index build over the tokens table, in a fresh
     // forked JVM (the same job at every parallelism level: FIXED shard
     // count; isolation keeps heap/JIT state from skewing the comparison)
     // host timing noise is 2-4x between runs (time-shared microVM): take
     // the min over trials as the capability estimate
-    var kgrams = 0L
-    var buildSec = 0.0
     if (phases("build")) {
       // 4 fresh-JVM trials (was 3): a single multi-minute steal episode can
       // swallow three consecutive forks (rehearsal 5 measured 9.4/33.8/21.3 s
@@ -144,8 +221,6 @@ object Bench {
     // 2. point-query throughput: 3M+ abundance probes through the broadcast
     // sketch. Min over trials, same policy as the build phase (trial 1 also
     // pays codegen/JIT warm-up); per-trial wall + GC delta on stderr.
-    var nProbes = 0L
-    var probeSec = 0.0
     if (phases("probe")) {
       // 5 trials (was 3): the codegen'd probe path is still JIT-warming at
       // trial 3 (a rehearsal measured 1.06 -> 0.58 -> 0.29 s); trials cost
@@ -181,9 +256,6 @@ object Bench {
     }
 
     // 4. operator catalog at the bench scale dir
-    var catalogSec = 0.0
-    var catalogN = 0
-    var catalogFailed = 0
     if (phases("catalog")) {
       val catalog = Seq(
         "q01_bqf_abundance", "q02_bqf_filter_ge2", "q03_bqf_membership",
@@ -231,7 +303,6 @@ object Bench {
     // The bound per sketch is exp + 6*sqrt(exp) + 10 (Poisson tail: the
     // probability of exceeding it is < 1e-8), where
     // exp = probes * distinct / 2^hashBits.
-    var fpJson = ""
     if (phases("fp")) {
       val fpProbes = sys.env.getOrElse("SPARK_GRAFT_FP_PROBES", "100000000").toLong
       def audit(hashBits: Int, q: BqfQuery): (Long, Long, Long, Double) = {
@@ -274,7 +345,6 @@ object Bench {
     // q06 MinHash-LSH pairs vs q05 exact Jaccard pairs, q18 hyperplane-LSH
     // top-3 vs q17 exact top-3, q24 IVF top-3 vs q17. Full methodology in
     // RecallAudit / BENCH/RECALL.md.
-    var recallJson = ""
     if (phases("recall")) {
       def ratio(h: Long, n: Long): Double = if (n == 0) 1.0 else h.toDouble / n
       val g0 = gcMs()
@@ -311,7 +381,6 @@ object Bench {
     // (StreamingSpec proves the streaming wiring; this measures its
     // steady-state cost, store merge included) — compared against the
     // one-shot batch build of the same input.
-    var ingestJson = ""
     if (phases("ingest")) {
       import spark.implicits._
       val ingestDocs = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "20000").toLong
@@ -390,7 +459,6 @@ object Bench {
     //       SMT on ~16 cores and the time-shared microVM sustains ~8-10 —
     //       beyond that a thread curve measures the host, not the library
     //       (bandwidth + core-kernel probes in BENCH/BASELINE.md).
-    var scalingJson = ""
     if (doScaling) {
       // 600k docs (~93M k-grams) keeps each level compute-dominated while
       // holding the whole series under ~5 min in typical host windows
@@ -493,56 +561,7 @@ object Bench {
         s""""core_sweeps":${sweepsJson(coreSweeps)},"e2e_sweeps":${sweepsJson(e2eSweeps)}}""")
     }
 
-    val total = results.values.filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // self-diagnosing artifact: the harness JVM's actual heap + collector +
-    // per-phase GC-time deltas ride in the JSON, so a GC-roulette anomaly
-    // (round-2's 368 s catalog under 90g default-G1) is attributable from
-    // the artifact alone
-    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val gcNames = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-    val gc = {
-      val it = gcNames.iterator(); val b = new StringBuilder
-      while (it.hasNext) { if (b.nonEmpty) b += '+'; b ++= it.next().getName.replace(' ', '_') }
-      b.toString
-    }
-    val gcJson = phaseGc.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val buildJson = if (phases("build"))
-      s""","kgrams":$kgrams,"bqf_build_kgrams_per_sec":${(kgrams / buildSec).toLong}""" else ""
-    val probeJson = if (phases("probe"))
-      s""","point_probes":$nProbes,"point_queries_per_sec":${(nProbes / probeSec).toLong}""" else ""
-    val catJson = if (phases("catalog"))
-      s""","catalog_sec":${fmt4(catalogSec)},"catalog_n":$catalogN,"catalog_failed":$catalogFailed""" else ""
-
-    // Artifact contract (round 4's one defect, VERDICT next-round #1): the
-    // stdout line must survive the driver's ~2.2 KB tail capture, so it
-    // carries ONLY the headline fields — budget <= 1.5 KB. The 31-entry
-    // per-query map, per-phase GC deltas, full scaling levels, and every
-    // raw sweep go to the detail artifact: a written JSON file (default
-    // BENCH/DETAIL.json in the repo, committed per round as DETAIL_rN.json)
-    // AND stderr, both emitted BEFORE the stdout line so a combined-stream
-    // tail capture always ends with the parseable headline.
-    val detailJson =
-      s"""{"queries":$qs,"phase_gc_ms":$gcJson,"sf":"$sfDir","cpus":$cpus""" +
-      (if (detailExtra.isEmpty) "" else detailExtra.mkString(",", ",", "")) + "}"
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH", "/root/repo/BENCH/DETAIL.json")
-    try {
-      val p = java.nio.file.Paths.get(detailPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (detailJson + "\n").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Exception => System.err.println(s"[bench] detail write failed: $e") }
-    System.err.println(s"[bench] detail: $detailJson")
-
-    val line =
-      s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","sf":"$sfDir"""" +
-      s""","cpus":$cpus,"bench_rows":$benchRows$buildJson$probeJson$catJson""" +
-      s"""$fpJson$recallJson$ingestJson$scalingJson""" +
-      s""","harness_heap_mb":$heapMb,"harness_gc":"$gc"""" +
-      s""","gc_ms":${phaseGc.values.sum},"detail":"$detailPath"}"""
-    if (line.length > 1536)
-      System.err.println(s"[bench] WARNING: stdout line ${line.length} B exceeds the 1.5 KB budget")
-    println(line)
+    emitArtifact(aborted = false)
     spark.stop()
   }
 }
