@@ -196,6 +196,19 @@ object BuildJob {
     spark.stop()
   }
 
+  /** tmpfs scratch for forked-JVM shuffle files (Spark creates per-app
+    * subdirs inside and removes them on exit). Falls back to the JVM's
+    * default tmpdir when /dev/shm is absent.
+    */
+  private[graft] def shmLocalDir: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+      val d = shm.resolve("graft-spark-local")
+      try java.nio.file.Files.createDirectories(d) catch { case _: Exception => () }
+      d.toString
+    } else System.getProperty("java.io.tmpdir")
+  }
+
   /** Fork a fresh JVM running this main; returns (seconds, kgrams, gcMs). */
   def forked(cpus: Int, rows: Long, nBuckets: Int, heap: String): (Double, Long, Long) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -220,6 +233,13 @@ object BuildJob {
       s"-XX:ActiveProcessorCount=$cpus",
       "-XX:+AlwaysPreTouch", "-XX:PretenureSizeThreshold=1048576",
       "-Dspark.ui.enabled=false",
+      // shuffle spill/files on tmpfs: this microVM's virtio disk sustains
+      // ~360 MB/s, so at 4+ cores the ~750 MB shuffle write saturates it
+      // and the map tasks stall off-CPU (run_ms >> cpu_ms in the stage
+      // metrics) — measuring the disk, not the engine. A real cluster
+      // executor has provisioned NVMe for exactly this; /dev/shm restores
+      // that contract (bytes moved are identical).
+      s"-Dspark.local.dir=$shmLocalDir",
       "-cp", System.getProperty("java.class.path"),
       "graft.BuildJob", cpus.toString, rows.toString, nBuckets.toString)
     val pb = new ProcessBuilder(cmd: _*)

@@ -106,11 +106,18 @@ object Cli {
           // trailing zeros stripped
           def fmtRef(d: Double): String = {
             val s = String.format(java.util.Locale.ROOT, "%.6g", Double.box(d))
-            if (s.contains('e') || s.contains('E')) s
-            else if (s.contains('.')) {
-              val t = s.reverse.dropWhile(_ == '0').reverse
-              if (t.endsWith(".")) t.dropRight(1) else t
-            } else s
+            def stripZeros(m: String): String =
+              if (!m.contains('.')) m
+              else {
+                val t = m.reverse.dropWhile(_ == '0').reverse
+                if (t.endsWith(".")) t.dropRight(1) else t
+              }
+            val e = s.indexWhere(c => c == 'e' || c == 'E')
+            // C++ default ostream strips trailing mantissa zeros in BOTH
+            // notations: %.6g alone would print 1.00000e-05 where C++
+            // prints 1e-05 (e.g. presence ratio on very long sequences)
+            if (e >= 0) stripZeros(s.substring(0, e)) + s.substring(e)
+            else stripZeros(s)
           }
           val out = rows.map(r => s"Sequence${r.getLong(0)} : (min:${r.getLong(1)}, " +
             s"max:${r.getLong(2)}, average:${fmtRef(r.getDouble(3))}, " +
@@ -206,7 +213,7 @@ object Cli {
         // routing params come from the build's sidecar when present (and a
         // conflicting -n/-k/-z on the command line is an ERROR — wrong
         // routing answers zeros silently); legacy stores without a sidecar
-        // fall back to -n or max(bucket)+1 rounded up to a power of two
+        // fall back to an explicit -n, else REFUSE (no inference)
         val meta = {
           val p = java.nio.file.Paths.get(opts("-b"), "_graft_index.json")
           if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p)) else None

@@ -890,6 +890,38 @@ object Queries {
       .filter(col("n_hits") >= DeconThreshold)
   }
 
+  /** q36: multimodal scalar features — the deterministic media corpus
+    * (PPM/BMP/WAV/PPM-stream blobs, real encoders) decoded back through the
+    * real decoders, reduced to exact-integer per-blob features
+    * ([[graft.operators.Multimodal.scalarFeatures]]). The DuckDB oracle
+    * recomputes every value from the synthesis formula in closed form
+    * (counter-based splitmix64 emulated with 128-bit modular arithmetic —
+    * no media decoding in SQL), so a hash match proves encoder byte layout,
+    * decoder correctness, and content extraction end to end. Plan shape:
+    * zero shuffle — synthesize and decode are one fused mapPartitions over
+    * the range; at scale this is the pure-map media-metadata pass of a
+    * training pipeline.
+    */
+  val MediaRows = 200
+
+  def q36MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.scalarFeatures(
+      graft.operators.Multimodal.synthesize(spark, MediaRows, partitions = 8)).toDF()
+
+  /** splitmix64 as DuckDB SQL, expanded into lateral-alias stages (DuckDB
+    * HUGEINT has no wrapping multiply, so each multiply is emulated in
+    * 32-bit limbs mod 2^64). `pfx` names the final alias.
+    */
+  private def smSql(pfx: String, x: String): String = {
+    def mul(a: String, b: String) =
+      s"((($a)%4294967296)*(($b)%4294967296) + (((($a)%4294967296)*(($b)//4294967296) + " +
+        s"(($a)//4294967296)*(($b)%4294967296))%4294967296)*4294967296) % 18446744073709551616::HUGEINT"
+    s"(CAST($x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS ${pfx}_1, " +
+      s"${mul(s"xor(${pfx}_1, ${pfx}_1 >> 30)", "13787848793156543929::HUGEINT")} AS ${pfx}_2, " +
+      s"${mul(s"xor(${pfx}_2, ${pfx}_2 >> 27)", "10723151780598845931::HUGEINT")} AS ${pfx}_3, " +
+      s"xor(${pfx}_3, ${pfx}_3 >> 31) AS $pfx"
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -930,6 +962,7 @@ object Queries {
     "q33_stream_second_emit" -> (q33StreamSecondEmit _),
     "q34_decontaminate" -> (q34Decontaminate _),
     "q35_repetition" -> (q35Repetition _),
+    "q36_media_features" -> (q36MediaFeatures _),
   )
 
   private val sh8 = shinglesSql(8)
@@ -986,6 +1019,45 @@ object Queries {
         |  CASE WHEN n_3grams = 0 THEN 0.0 ELSE CAST(n_3grams - d3 AS DOUBLE) / n_3grams END AS dup_3gram_frac,
         |  COALESCE(top.top3, 0) AS top_3gram_count
         |FROM m LEFT JOIN top ON m.doc_id = top.doc_id""".stripMargin,
+    // q36: the whole media pipeline recomputed in closed form — ids ->
+    // dims/rate/frame-count via splitmix64(id..id+2), content bytes via the
+    // counter-based stream splitmix64(seed+i) (Multimodal.pix), container
+    // sizes from the PPM/BMP/WAV byte-layout formulas
+    "q36_media_features" ->
+      s"""WITH ids AS (SELECT unnest(generate_series(0, ${MediaRows - 1})) AS id),
+         |dims0 AS (SELECT id, ${smSql("sa", "id")}, ${smSql("sb", "id+1")}, ${smSql("sc", "id+2")} FROM ids),
+         |meta AS (SELECT id, id % 4 AS k, CAST(16 + (sa % 16) AS BIGINT) AS w,
+         |                CAST(16 + (sb % 16) AS BIGINT) AS h,
+         |                CAST(8000 + 4000*(sc % 2) AS BIGINT) AS sr,
+         |                CAST(4 + (sc % 4) AS BIGINT) AS nf FROM dims0),
+         |streams AS (
+         |  SELECT id, id*7919 + 3*w*h AS seed, 3*w*h AS len FROM meta WHERE k IN (0,1)
+         |  UNION ALL
+         |  SELECT id, id*7919 + 2048 AS seed, 2048 AS len FROM meta WHERE k = 2
+         |  UNION ALL
+         |  SELECT id, (id*31 + f)*7919 + 3*w*h AS seed, 3*w*h AS len
+         |  FROM (SELECT id, w, h, unnest(generate_series(0, nf-1)) AS f FROM meta WHERE k = 3)
+         |),
+         |xs AS (SELECT id, seed + unnest(generate_series(0, len-1)) AS x FROM streams),
+         |bytes AS (SELECT id, ${smSql("sv", "x")} FROM xs),
+         |sums AS (SELECT id, CAST(SUM(sv % 256) AS BIGINT) AS sb,
+         |                CAST(SUM(CASE WHEN sv % 256 >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS nneg,
+         |                COUNT(*) AS n
+         |         FROM bytes GROUP BY id)
+         |SELECT CAST(m.id AS BIGINT) AS media_id,
+         |  CASE WHEN m.k IN (0,1) THEN 'image' WHEN m.k = 2 THEN 'audio' ELSE 'video' END AS kind,
+         |  CASE WHEN m.k = 1 THEN 'bmp' WHEN m.k = 2 THEN 'wav' ELSE 'ppm' END AS container,
+         |  CAST(CASE WHEN m.k = 2 THEN m.sr ELSE m.w END AS BIGINT) AS width,
+         |  CAST(CASE WHEN m.k = 2 THEN 1 ELSE m.h END AS BIGINT) AS height,
+         |  CAST(CASE WHEN m.k = 2 THEN 2048 WHEN m.k = 3 THEN m.nf ELSE 1 END AS BIGINT) AS frames,
+         |  CAST(CASE WHEN m.k = 0 THEN 9 + length(CAST(m.w AS VARCHAR)) + length(CAST(m.h AS VARCHAR)) + 3*m.w*m.h
+         |            WHEN m.k = 1 THEN 54 + ((3*m.w + 3)//4*4)*m.h
+         |            WHEN m.k = 2 THEN 44 + 2*2048
+         |            ELSE m.nf * (9 + length(CAST(m.w AS VARCHAR)) + length(CAST(m.h AS VARCHAR)) + 3*m.w*m.h) END AS BIGINT) AS n_bytes,
+         |  CAST(CASE WHEN m.k = 2 THEN (s.sb - 256*s.nneg)*128 ELSE s.sb END AS BIGINT) AS content_sum,
+         |  CAST(s.n AS BIGINT) AS content_n,
+         |  CAST(CASE WHEN m.k = 2 THEN 2048*1000000//m.sr ELSE 0 END AS BIGINT) AS duration_us
+         |FROM meta m JOIN sums s ON m.id = s.id""".stripMargin,
     "q02_bqf_filter_ge2" ->
       s"SELECT shingle, count(*) AS abund FROM ($sh8) GROUP BY shingle HAVING count(*) >= 2",
     "q03_bqf_membership" ->

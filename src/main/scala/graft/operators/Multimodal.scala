@@ -34,13 +34,19 @@ object Multimodal {
   // synthesis (deterministic test corpus through the REAL encoders)
   // =====================================================================
 
+  /** COUNTER-BASED byte stream (out(i) = splitmix64(seed + i), not a
+    * sequentially-chained state): each byte is a closed-form function of
+    * (id, n, i), so an external oracle — the driver's DuckDB correctness
+    * gate for q36 — can recompute any byte independently in SQL, and the
+    * generation itself is embarrassingly parallel. Seeds are spaced by 7919
+    * per id while i < 3·31·31 < 7919, so streams never overlap.
+    */
   private def pix(id: Long, n: Int): Array[Byte] = {
     val out = new Array[Byte](n)
-    var state = splitmix64(id * 7919 + n)
+    val seed = id * 7919 + n
     var i = 0
     while (i < n) {
-      state = splitmix64(state)
-      out(i) = (state & 0xff).toByte
+      out(i) = (splitmix64(seed + i) & 0xff).toByte
       i += 1
     }
     out
@@ -134,6 +140,61 @@ object Multimodal {
         var j = 0
         while (j < 16) { hist(j) /= d; j += 1 }
         MediaFeatures(b.media_id, hist)
+      }
+    }
+  }
+
+  /** Exact-integer per-blob scalar features over REAL decodes — the
+    * hash-stable face of the multimodal pipeline (q36): every column is an
+    * integer or string, so a DuckDB oracle recomputing the same values from
+    * the synthesis formula matches bit-for-bit (no float tolerance games).
+    *
+    *  - width/height: pixels for images/video; (sampleRate, channels) for
+    *    audio — the same convention as [[MediaDecoded]]
+    *  - frames: P6 frame count / 1 for stills / samples-per-channel for audio
+    *  - n_bytes: container payload size (proves the encoder byte layout)
+    *  - content_sum / content_n: sum and count over the DECODED content —
+    *    unsigned pixel bytes for images/video, signed 16-bit samples for
+    *    audio (proves the decode path, not just the header walk)
+    *  - duration_us: samples * 1e6 / sampleRate for audio, 0 otherwise
+    */
+  final case class MediaScalars(media_id: Long, kind: String, container: String,
+                                width: Long, height: Long, frames: Long, n_bytes: Long,
+                                content_sum: Long, content_n: Long, duration_us: Long)
+
+  def scalarFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaScalars] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        sniff(b.payload) match {
+          case "ppm" =>
+            val frames = decodePpmStream(b.payload)
+            var sum = 0L; var n = 0L
+            frames.foreach { img =>
+              var i = 0
+              while (i < img.rgb.length) { sum += (img.rgb(i) & 0xff); i += 1 }
+              n += img.rgb.length
+            }
+            MediaScalars(b.media_id, if (frames.length > 1) "video" else "image", "ppm",
+              frames.head.width, frames.head.height, frames.length, b.payload.length,
+              sum, n, 0L)
+          case "bmp" =>
+            val img = decodeBmp(b.payload)
+            var sum = 0L
+            var i = 0
+            while (i < img.rgb.length) { sum += (img.rgb(i) & 0xff); i += 1 }
+            MediaScalars(b.media_id, "image", "bmp", img.width, img.height, 1L,
+              b.payload.length, sum, img.rgb.length, 0L)
+          case "wav" =>
+            val a = decodeWav(b.payload)
+            var sum = 0L
+            var i = 0
+            while (i < a.samples.length) { sum += a.samples(i); i += 1 }
+            val perChannel = a.samples.length / a.channels
+            MediaScalars(b.media_id, "audio", "wav", a.sampleRate, a.channels,
+              perChannel, b.payload.length, sum, a.samples.length,
+              perChannel * 1000000L / a.sampleRate)
+        }
       }
     }
   }

@@ -70,52 +70,7 @@ object BqfPipeline {
     // per k-gram); array encode/decode is a memcpy. Same shuffle BYTES,
     // ~10^4x fewer shuffle ROWS.
     df.select(fpCol.as("fps")).as[Array[Long]]
-      .mapPartitions { docs =>
-        // Bounded buffering: builders flush to chunk rows every ~4M buffered
-        // fingerprints (32 MB), so task heap is independent of
-        // input-partition size (an unbounded version scales with the
-        // partition — a skewed 100 TB split would OOM the task). The shuffle
-        // writer consumes this iterator lazily, so flushed chunks leave the
-        // heap as they are emitted. Null fingerprint arrays (a null text/
-        // tokens row upstream) contribute nothing, matching the old explode
-        // path's semantics.
-        new Iterator[(Long, Array[Long])] {
-          private val builders = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nBuckets)
-          private val queue = scala.collection.mutable.Queue.empty[(Long, Array[Long])]
-          private var nBuffered = 0L
-          private val flushAt = 4L << 20
-          private def flush(): Unit = {
-            var b = 0
-            while (b < nBuckets) {
-              val bb = builders(b)
-              if (bb != null) { queue.enqueue((b.toLong, bb.result())); builders(b) = null }
-              b += 1
-            }
-            nBuffered = 0L
-          }
-          private def fill(): Unit =
-            while (queue.isEmpty && docs.hasNext) {
-              while (docs.hasNext && nBuffered < flushAt) {
-                val fps = docs.next()
-                if (fps != null) {
-                  var i = 0
-                  while (i < fps.length) {
-                    val fp = fps(i)
-                    val b = (fp >>> shift).toInt
-                    var bb = builders(b)
-                    if (bb == null) { bb = new scala.collection.mutable.ArrayBuilder.ofLong; builders(b) = bb }
-                    bb.addOne(fp)
-                    i += 1
-                  }
-                  nBuffered += fps.length
-                }
-              }
-              flush()
-            }
-          override def hasNext: Boolean = { fill(); queue.nonEmpty }
-          override def next(): (Long, Array[Long]) = { fill(); queue.dequeue() }
-        }
-      }
+      .mapPartitions(docs => chunkByBucket(docs, nBuckets, shift))
       .toDF("bucket", "chunk")
       .repartition(nBuckets, col("bucket"))
       .as[(Long, Array[Long])]
@@ -128,6 +83,84 @@ object BqfPipeline {
       }
       .toDF("bucket", "sketch")
   }
+
+  /** [[buildIndexSorted]] over an ALREADY-EXPLODED fingerprint column (one
+    * Long row per k-gram) — the input shape a streaming ingest batch or a
+    * cached/filtered fingerprint table hands you. Identical plan from the
+    * chunking map stage on, so bulk-vs-incremental comparisons charged from
+    * the same cached input are symmetric.
+    */
+  def buildIndexSortedFromFps(fps: DataFrame, params: BqfParams, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0, "nBuckets must be a power of 2")
+    val spark = fps.sparkSession
+    import spark.implicits._
+    val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    fps.select(col("fp")).as[Long]
+      // re-batch singles into arrays so the shared chunker's inner loop (and
+      // its bounded-flush accounting) is identical to the per-doc path
+      .mapPartitions(it => chunkByBucket(it.grouped(8192).map(_.toArray), nBuckets, shift))
+      .toDF("bucket", "chunk")
+      .repartition(nBuckets, col("bucket"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        gatherChunks(it.map { case (b, c) => (b, c, null) }).map { case (bucket, fps, _) =>
+          val ones = new Array[Long](fps.length)
+          java.util.Arrays.fill(ones, 1L)
+          (bucket, buildShard(fps, ones, params))
+        }
+      }
+      .toDF("bucket", "sketch")
+  }
+
+  /** Map-side bucketizer shared by the index builds: groups each task's
+    * fingerprints by destination bucket into array-chunk rows.
+    *
+    * Bounded buffering: builders flush to chunk rows every ~4M buffered
+    * fingerprints (32 MB), so task heap is independent of input-partition
+    * size (an unbounded version scales with the partition — a skewed 100 TB
+    * split would OOM the task). The shuffle writer consumes this iterator
+    * lazily, so flushed chunks leave the heap as they are emitted. Null
+    * fingerprint arrays (a null text/tokens row upstream) contribute
+    * nothing, matching the old explode path's semantics.
+    */
+  private def chunkByBucket(docs: Iterator[Array[Long]], nBuckets: Int,
+                            shift: Int): Iterator[(Long, Array[Long])] =
+    new Iterator[(Long, Array[Long])] {
+      private val builders = new Array[scala.collection.mutable.ArrayBuilder.ofLong](nBuckets)
+      private val queue = scala.collection.mutable.Queue.empty[(Long, Array[Long])]
+      private var nBuffered = 0L
+      private val flushAt = 4L << 20
+      private def flush(): Unit = {
+        var b = 0
+        while (b < nBuckets) {
+          val bb = builders(b)
+          if (bb != null) { queue.enqueue((b.toLong, bb.result())); builders(b) = null }
+          b += 1
+        }
+        nBuffered = 0L
+      }
+      private def fill(): Unit =
+        while (queue.isEmpty && docs.hasNext) {
+          while (docs.hasNext && nBuffered < flushAt) {
+            val fps = docs.next()
+            if (fps != null) {
+              var i = 0
+              while (i < fps.length) {
+                val fp = fps(i)
+                val b = (fp >>> shift).toInt
+                var bb = builders(b)
+                if (bb == null) { bb = new scala.collection.mutable.ArrayBuilder.ofLong; builders(b) = bb }
+                bb.addOne(fp)
+                i += 1
+              }
+              nBuffered += fps.length
+            }
+          }
+          flush()
+        }
+      override def hasNext: Boolean = { fill(); queue.nonEmpty }
+      override def next(): (Long, Array[Long]) = { fill(); queue.dequeue() }
+    }
 
   /** Concatenate per-bucket chunk rows ((bucket, fps, stored?) with stored
     * possibly null for the all-ones build) into one contiguous pair of

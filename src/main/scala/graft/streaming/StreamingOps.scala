@@ -135,11 +135,20 @@ object IndexIngest {
     * can leave the directory present with no data files, and a raw
     * spark.read.parquet on it throws 'Unable to infer schema' on every
     * checkpoint replay — the ingest query could never self-recover.
+    *
+    * Before answering, heal a compact() that crashed mid-swap: the original
+    * store sits complete at `<dir>.compact-old` with the store path absent
+    * (or an empty shell). If only compact() ran this recovery, an
+    * ingestBatch or currentShards arriving FIRST would see "no store",
+    * silently start fresh, and — once one new batch appended — make the
+    * pre-compact data unrecoverable (the aside-restore condition
+    * `!storeExists && aside exists` could never fire again). Running it at
+    * every store access closes that window.
     */
   private def storeExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
+    def hasData = fs.exists(p) && {
       val it = fs.listFiles(p, true)
       var found = false
       while (!found && it.hasNext) {
@@ -148,6 +157,12 @@ object IndexIngest {
       }
       found
     }
+    val aside = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    if (!hasData && fs.exists(aside)) {
+      fs.delete(p, true) // at most an empty shell from the failed swap
+      fs.rename(aside, p)
+    }
+    hasData
   }
 
   /** Latest (bucket, sketch, batch_id) row per bucket, blob scan pruned to
@@ -211,12 +226,10 @@ object IndexIngest {
     // crash recovery: a prior compact that died mid-swap left the original
     // store renamed aside (complete — the aside rename happens only after
     // the tmp write commits, and a crash can strike between the two
-    // renames). Restore it and redo the compaction from scratch; the tmp
-    // from that run is discarded below like any other stale tmp.
-    if (!storeExists(spark, storeDir) && fs.exists(aside)) {
-      fs.delete(store, true) // at most an empty shell from the failed swap
-      fs.rename(aside, store)
-    }
+    // renames). storeExists itself restores the aside — here and at every
+    // other store access (ingestBatch/currentShards/committed), so no
+    // caller can start a fresh store on top of a recoverable one; the tmp
+    // from the crashed run is discarded below like any other stale tmp.
     if (!storeExists(spark, storeDir)) return
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // distributed end to end: "one row per bucket" bounds the ROW count,
@@ -256,6 +269,33 @@ object IndexIngest {
     require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0, "nBuckets must be a power of 2")
     val spark = batch.sparkSession
     import spark.implicits._
+    // An existing sidecar is a routing CONTRACT, not just documentation: a
+    // second ingest with a different nBuckets (or k/z/hash/seed) would
+    // silently append rows routed by a different shift — currentShards then
+    // mixes shard versions built under two routings and every query answers
+    // wrong/zero counts with no error. Refuse up front, mirroring the
+    // query-index sidecar conflict check.
+    {
+      val sidecarP = new org.apache.hadoop.fs.Path(storeDir, "_graft_index.json")
+      val sfs = sidecarP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (sfs.exists(sidecarP)) {
+        val in = sfs.open(sidecarP)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        def field(name: String): Option[Long] =
+          s""""$name":(-?[0-9]+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        val expected = Seq(
+          "nBuckets" -> nBuckets.toLong, "qBits" -> params.qBits.toLong,
+          "countBits" -> params.countBits.toLong, "hashBits" -> params.hashBits.toLong,
+          "kTokens" -> params.kTokens.toLong, "zTokens" -> params.zTokens.toLong,
+          "seed" -> params.seed)
+        val conflicts = expected.collect {
+          case (n, v) if field(n).exists(_ != v) => s"$n: store=${field(n).get} call=$v"
+        }
+        require(conflicts.isEmpty,
+          s"ingestBatch routing conflicts with $storeDir's sidecar (${conflicts.mkString(", ")}); " +
+            "a mismatched ingest would corrupt the store silently")
+      }
+    }
     // ONE store read and ONE driver-side metadata job serve both the replay
     // guard and the live-shard file pruning (separate committed() +
     // currentShards() calls would scan the store three times per

@@ -30,6 +30,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ds.length == 3 && ds.zip(frames).forall { case (a, b) => a.rgb.sameElements(b.rgb) })
   }
 
+  test("scalarFeatures: exact-integer features agree with an independent decode") {
+    import spark.implicits._
+    val blobs = Multimodal.synthesize(spark, 24, partitions = 2)
+    val feats = Multimodal.scalarFeatures(blobs).collect().map(f => f.media_id -> f).toMap
+    assert(feats.size == 24)
+    blobs.collect().foreach { b =>
+      val f = feats(b.media_id)
+      assert(f.n_bytes == b.payload.length, s"n_bytes mismatch for ${b.media_id}")
+      sniff(b.payload) match {
+        case "ppm" =>
+          val frames = decodePpmStream(b.payload)
+          assert(f.frames == frames.length && f.width == frames.head.width &&
+            f.height == frames.head.height)
+          assert(f.kind == (if (frames.length > 1) "video" else "image") && f.container == "ppm")
+          val sum = frames.iterator.flatMap(_.rgb.iterator).map(_ & 0xff).map(_.toLong).sum
+          val n = frames.iterator.map(_.rgb.length.toLong).sum
+          assert(f.content_sum == sum && f.content_n == n && f.duration_us == 0L)
+        case "bmp" =>
+          val i = decodeBmp(b.payload)
+          assert(f.kind == "image" && f.container == "bmp" && f.frames == 1L)
+          assert(f.content_sum == i.rgb.iterator.map(_ & 0xff).map(_.toLong).sum)
+          assert(f.content_n == i.rgb.length.toLong)
+        case "wav" =>
+          val a = decodeWav(b.payload)
+          assert(f.kind == "audio" && f.container == "wav")
+          assert(f.width == a.sampleRate && f.height == a.channels &&
+            f.frames == a.samples.length / a.channels)
+          assert(f.content_sum == a.samples.iterator.map(_.toLong).sum)
+          assert(f.duration_us ==
+            (a.samples.length / a.channels) * 1000000L / a.sampleRate)
+      }
+    }
+  }
+
   test("malformed payloads fail fast with IllegalArgumentException, never hang") {
     // WAV chunk with size = -8 used to leave the chunk-walk offset unchanged
     // (infinite loop in the executor); now it must throw promptly

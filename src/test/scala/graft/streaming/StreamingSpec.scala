@@ -215,6 +215,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(store, "_graft_index.json").exists, "recovery dropped the sidecar")
   }
 
+  test("ingestBatch refuses mismatched routing params; aside-restore heals from any store access") {
+    import spark.implicits._
+    val params = graft.operators.BqfParams(qBits = 10, countBits = 8, hashBits = 32,
+      kTokens = 8, zTokens = 0, seed = 0L)
+    val nBuckets = 8
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sidecar").toString
+    val store = s"$tmp/store"
+    val fps = (1L to 300L).map(i => graft.core.Fingerprint.splitmix64(i) & 0xffffffffL)
+    IndexIngest.ingestBatch(fps.toDF("fp"), batchId = 0L, params, nBuckets, store)
+
+    // a second ingest with different routing must REFUSE (silent append
+    // under a different shift would corrupt every future query)
+    val exN = intercept[IllegalArgumentException] {
+      IndexIngest.ingestBatch(fps.toDF("fp"), batchId = 1L, params, nBuckets * 2, store)
+    }
+    assert(exN.getMessage.contains("nBuckets"), s"wrong message: ${exN.getMessage}")
+    val exP = intercept[IllegalArgumentException] {
+      IndexIngest.ingestBatch(fps.toDF("fp"), batchId = 1L,
+        params.copy(kTokens = 9), nBuckets, store)
+    }
+    assert(exP.getMessage.contains("kTokens"), s"wrong message: ${exP.getMessage}")
+    // matching params still ingest fine
+    IndexIngest.ingestBatch(fps.take(50).toDF("fp"), batchId = 1L, params, nBuckets, store)
+
+    // crash-mid-swap state (store absent, complete copy at .compact-old):
+    // the FIRST access being currentShards — not compact — must still heal
+    // it; before the fix a fresh ingest would silently shadow the aside
+    // and strand the pre-compact data forever
+    val live = IndexIngest.currentShards(spark, store)
+      .as[(Long, Array[Byte])].collect().map { case (b, s) => b -> s.toVector }.toMap
+    val storeP = new org.apache.hadoop.fs.Path(store)
+    val asideP = new org.apache.hadoop.fs.Path(store + ".compact-old")
+    val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(storeP, asideP)
+    val healed = IndexIngest.currentShards(spark, store)
+      .as[(Long, Array[Byte])].collect().map { case (b, s) => b -> s.toVector }.toMap
+    assert(fs.exists(storeP) && !fs.exists(asideP), "currentShards did not restore the aside")
+    assert(healed == live, "restored store diverged")
+    // and via ingestBatch as the first access
+    fs.rename(storeP, asideP)
+    IndexIngest.ingestBatch(fps.take(10).toDF("fp"), batchId = 2L, params, nBuckets, store)
+    assert(fs.exists(storeP) && !fs.exists(asideP), "ingestBatch did not restore the aside")
+    // batches 0 and 1 must still be present (nothing was stranded)
+    val ids = spark.read.parquet(store).select("batch_id").distinct()
+      .as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L), s"lost batches across recovery: $ids")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("broadcast-sketch query expressions work inside a streaming query") {
     // the batch query surface (codegen abundance expression over a
     // broadcast sketch) composes with Structured Streaming unchanged:
