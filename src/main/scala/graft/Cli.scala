@@ -30,6 +30,23 @@ object Cli {
   private def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("-") => k -> v }.toMap
 
+  /** C++ default ostream float formatting: 6 significant digits, trailing
+    * zeros stripped — in fixed AND scientific notation (C++ prints 1e-05
+    * where %.6g alone gives 1.00000e-05).
+    */
+  private def fmtRefFloat(d: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.6g", Double.box(d))
+    def stripZeros(m: String): String =
+      if (!m.contains('.')) m
+      else {
+        val t = m.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      }
+    val e = s.indexWhere(c => c == 'e' || c == 'E')
+    if (e >= 0) stripZeros(s.substring(0, e)) + s.substring(e)
+    else stripZeros(s)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println("usage: graft.Cli build|query|filter|enumerate|build-index|query-index -i IN [-b SKETCH] [-o OUT] [-q Q -c C -k K -z Z] [-n BUCKETS] [-f parquet|text]")
@@ -67,6 +84,34 @@ object Cli {
 
       case "query" =>
         val t0 = System.nanoTime()
+        // verb-for-verb migration: a sketch file written by the REFERENCE
+        // binary (8xu64 header + table words, abstract_bqf.cpp:512-529) is
+        // auto-detected, imported into the DNA hash domain, and answers the
+        // reference's own text query surface (DNA sequences in, the same
+        // `SequenceN : (min:.., ..)` lines out) — examples/ecoli.cpp:13-34
+        // is the usage this covers
+        if (graft.sources.ReferenceFormat.isReferenceFile(opts("-b"))) {
+          val rf = graft.sources.ReferenceFormat.load(opts("-b"))
+          val bf = rf.toBackpackFilter
+          import scala.jdk.CollectionConverters._
+          val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(opts("-i")))
+            .asScala.toVector.filter(_.nonEmpty)
+          val seqs = (if (lines.headOption.exists(_.startsWith(">")))
+            lines.filterNot(_.startsWith(">")) else lines)
+          val out = seqs.zipWithIndex.map { case (seq, i) =>
+            val (mn, mx, avg, ratio) = graft.sources.DnaDomain.querySequence(
+              seq.trim, rf.header.kmerSize, rf.header.smerSize, bf.abundance)
+            s"Sequence${i + 1} : (min:$mn, max:$mx, average:${fmtRefFloat(avg)}, " +
+              s"presence ratio:${fmtRefFloat(ratio)})"
+          }
+          java.nio.file.Files.write(java.nio.file.Paths.get(opts("-o")),
+            out.mkString("", "\n", if (out.nonEmpty) "\n" else "").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          println(s"Load + queries time = ${(System.nanoTime() - t0) / 1000000}ms " +
+            s"(reference-format index: ${rf.header.elementsInside} smers)")
+          if (!sys.props.contains("graft.cli.keepSession")) spark.stop()
+          return
+        }
         val sketch = BackpackFilter.loadFromFile(opts("-b"))
         val q = new BqfQuery(spark, sketch.serialize())
         val in = opts("-i")
@@ -102,26 +147,9 @@ object Cli {
             .select(col("seq_no"), col("st.minimum"), col("st.maximum"),
               col("st.average"), col("st.presenceRatio"))
             .collect().sortBy(_.getLong(0))
-          // C++ default ostream float formatting: 6 significant digits,
-          // trailing zeros stripped
-          def fmtRef(d: Double): String = {
-            val s = String.format(java.util.Locale.ROOT, "%.6g", Double.box(d))
-            def stripZeros(m: String): String =
-              if (!m.contains('.')) m
-              else {
-                val t = m.reverse.dropWhile(_ == '0').reverse
-                if (t.endsWith(".")) t.dropRight(1) else t
-              }
-            val e = s.indexWhere(c => c == 'e' || c == 'E')
-            // C++ default ostream strips trailing mantissa zeros in BOTH
-            // notations: %.6g alone would print 1.00000e-05 where C++
-            // prints 1e-05 (e.g. presence ratio on very long sequences)
-            if (e >= 0) stripZeros(s.substring(0, e)) + s.substring(e)
-            else stripZeros(s)
-          }
           val out = rows.map(r => s"Sequence${r.getLong(0)} : (min:${r.getLong(1)}, " +
-            s"max:${r.getLong(2)}, average:${fmtRef(r.getDouble(3))}, " +
-            s"presence ratio:${fmtRef(r.getDouble(4))})")
+            s"max:${r.getLong(2)}, average:${fmtRefFloat(r.getDouble(3))}, " +
+            s"presence ratio:${fmtRefFloat(r.getDouble(4))})")
           java.nio.file.Files.write(java.nio.file.Paths.get(opts("-o")),
             out.mkString("", "\n", if (out.nonEmpty) "\n" else "").getBytes(
               java.nio.charset.StandardCharsets.UTF_8))
@@ -175,8 +203,22 @@ object Cli {
         }
 
       case "enumerate" =>
-        val q = new BqfQuery(spark, BackpackFilter.loadFromFile(opts("-b")).serialize())
-        q.enumerateDF().write.mode("overwrite").parquet(opts("-o"))
+        // reference-format files enumerate too (migration surface): entries
+        // come out in the reference hash domain, plus the DECODED smer via
+        // the reversible bfc hash — hash_to_kmer, additional_methods.cpp:222
+        if (graft.sources.ReferenceFormat.isReferenceFile(opts("-b"))) {
+          import spark.implicits._
+          val rf = graft.sources.ReferenceFormat.load(opts("-b"))
+          val s = rf.header.smerSize
+          val mask = graft.core.Bits.maskRight(2 * s)
+          rf.entries().toSeq.toDF("fingerprint", "abundance")
+            .withColumn("smer", udf((fp: Long) => graft.sources.DnaDomain.decodeSmer(
+              graft.sources.DnaDomain.bfcHash64Inv(fp, mask), s)).apply(col("fingerprint")))
+            .write.mode("overwrite").parquet(opts("-o"))
+        } else {
+          val q = new BqfQuery(spark, BackpackFilter.loadFromFile(opts("-b")).serialize())
+          q.enumerateDF().write.mode("overwrite").parquet(opts("-o"))
+        }
 
       case "build-index" =>
         // sharded index persisted as a (bucket, sketch) parquet store — the

@@ -85,6 +85,49 @@ class CliSpec extends AnyFunSuite {
     assert(gotFa.asScala.toVector == want, "FASTA query mismatch")
   }
 
+  test("query/enumerate over a REFERENCE-written sketch file (on-disk interop)") {
+    import scala.jdk.CollectionConverters._
+    // the golden .bqf was saved by the compiled reference binary
+    // (src/test/resources/reference_interop/generator.cpp)
+    val bqf = java.nio.file.Paths.get(dir, "golden_ref.bqf")
+    java.nio.file.Files.copy(
+      getClass.getResourceAsStream("/reference_interop/golden.bqf"), bqf,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val goldenQ = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/reference_interop/golden_queries.tsv"))
+      .getLines().toVector.map(_.split("\t"))
+    // DNA query file (plain: one sequence per line)
+    val qfile = java.nio.file.Paths.get(dir, "dna_queries.txt")
+    java.nio.file.Files.write(qfile, goldenQ.map(_(0)).mkString("\n").getBytes)
+    Cli.main(Array("query", "-b", bqf.toString, "-i", qfile.toString,
+      "-o", s"$dir/dna_q.out"))
+    val got = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "dna_q.out")).asScala.toVector
+    // the reference prints the same C++ default-float text the tsv holds
+    val want = goldenQ.zipWithIndex.map { case (p, i) =>
+      s"Sequence${i + 1} : (min:${p(1)}, max:${p(2)}, average:${p(3)}, " +
+        s"presence ratio:${p(4)})"
+    }
+    assert(got == want, s"reference query text mismatch:\n${got.take(3).mkString("\n")}\nvs\n${want.take(3).mkString("\n")}")
+
+    // enumerate over the same file matches the reference's own enumerate,
+    // and the decoded smer column re-hashes (insert-side codec) to the fp
+    Cli.main(Array("enumerate", "-b", bqf.toString, "-o", s"$dir/ref_enum.parquet"))
+    val en = spark.read.parquet(s"$dir/ref_enum.parquet")
+      .select("fingerprint", "abundance", "smer")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val wantEnum = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/reference_interop/golden_enum.tsv"))
+      .getLines().map { l => val Array(h, c) = l.split("\t"); (h.toLong, c.toLong) }.toMap
+    assert(en.map(e => (e._1, e._2)).toMap == wantEnum)
+    val mask = graft.core.Bits.maskRight(16)
+    en.foreach { case (fp, _, smer) =>
+      assert(graft.sources.DnaDomain.bfcHash64(
+        graft.sources.DnaDomain.encode(smer), mask) == fp,
+        s"decoded smer $smer does not re-hash to $fp")
+    }
+  }
+
   test("filter -f text emits decoded k-grams with counts == SQL count>=2") {
     Cli.main(Array("filter", "-i", s"$dir/tokens.parquet", "-o", s"$dir/filtered_txt",
       "-k", "8", "-f", "text"))
