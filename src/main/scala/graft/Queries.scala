@@ -145,10 +145,16 @@ object Queries {
     val sh = shingles(spark, dir, 12)
       .select(col("doc_id"), xxhash64(col("shingle")).as("s")).distinct()
       .localCheckpoint()
-    // broadcast the SMALL side: in long-tail text nearly every shingle is
-    // rare, so the broadcastable set is the hot one (count > 20) and the
-    // rare-only restriction becomes a broadcast anti-join (round 1
-    // broadcast the rare set itself — guaranteed OOM at scale)
+    // anti-join against the SMALL side: in long-tail text nearly every
+    // shingle is rare, so the exclusion set is the hot one (count > 20) —
+    // round 1 broadcast the rare set itself, guaranteed OOM at scale. The
+    // hot side is NOT hint-forced onto a broadcast: |hot| grows with corpus
+    // size (more shingles cross a fixed count threshold), so a forced
+    // broadcast() would OOM silently at some scale-up. AQE sees the
+    // aggregate's runtime size and picks broadcast while it fits
+    // (sf0.001-0.1: a few hundred rows), falling back to a shuffled
+    // anti-join beyond — correctness is identical either way, asserted by
+    // the two-sf no-broadcast A/B in SparkE2ESpec
     val hot = sh.groupBy("s").count().filter(col("count") > 20).select("s")
     // per-doc shingle counts ride along as a window column instead of a
     // separate `sizes` aggregate joined back twice; the rare-shingle set is
@@ -156,7 +162,7 @@ object Queries {
     // MEMORY_AND_DISK blocks, GC-cleaned) so the self-join's two sides read
     // blocks instead of re-exploding and re-deduplicating the corpus — the
     // standard multi-pass move, same at 1000 executors
-    val rs = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val rs = sh.join(hot, Seq("s"), "left_anti")
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .localCheckpoint()
     rs.as("a").join(rs.as("b"),
@@ -794,8 +800,11 @@ object Queries {
     val d = docs(spark, dir).filter(length(col("text")) >= ShingleN)
     // stage the corpus as several files so AvailableNow replays it as
     // MULTIPLE micro-batches: the store then goes through real cross-batch
-    // shard merges, not one bulk append
-    d.repartition(4).write.parquet(inDir)
+    // shard merges, not one bulk append. Three files = two cross-batch
+    // merge boundaries — the minimum that still proves merge-across-batches
+    // twice; each extra micro-batch costs ~2 s of trigger overhead in the
+    // bench catalog (r5 verdict #7: catalog wall budget)
+    d.repartition(3).write.parquet(inDir)
     val stream = spark.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val fps = stream.select(explode(shingle_fingerprints(
@@ -835,15 +844,20 @@ object Queries {
     val d = docs(spark, dir).filter(length(col("text")) >= ShingleN)
     // several input files -> several micro-batches: second occurrences that
     // STRADDLE a batch boundary only emit if the sharded state really
-    // persisted across batches
-    d.repartition(4).write.parquet(inDir)
+    // persisted across batches (three files = two boundaries, same budget
+    // rationale as q32)
+    d.repartition(3).write.parquet(inDir)
     val fps = spark.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
       .select(explode(shingle_fingerprints(
         col("text"), ShingleN, TextParams.hashBits, TextParams.seed)).as("fp"))
       .as[Long]
+    // 8 state shards, not 32: state-task scheduling is per-shard-per-batch
+    // overhead, and at sf0.1 each shard still holds ~100k+ fingerprints —
+    // the sharding semantics (cross-shard merge of emitted sets) are
+    // unchanged, just at catalog-friendly cost
     val emitted = graft.streaming.StreamingOps.secondOccurrences(
-      fps, nShards = 32, qBits = 10, hashBits = TextParams.hashBits)
+      fps, nShards = 8, qBits = 10, hashBits = TextParams.hashBits)
     val q = emitted.toDF("fp").writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)

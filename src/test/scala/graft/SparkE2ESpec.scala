@@ -152,6 +152,25 @@ class SparkE2ESpec extends AnyFunSuite {
     assert(fpCount < 60, s"Bloom FP count $fpCount too high") // expect ~ (1-e^{-kn/m})^k tiny
   }
 
+  test("q05 hot-set anti-join: no forced broadcast, identical answers without one (two sfs)") {
+    // |hot shingles| grows with corpus size, so q05 must not pin its
+    // exclusion set to a broadcast: with autoBroadcastJoinThreshold=-1
+    // (broadcast disabled entirely — the forced-hint case would either
+    // still broadcast or change shape) the answer must be identical, i.e.
+    // the declared-exact baseline cannot silently OOM a broadcast at any
+    // scale — it degrades to a shuffled anti-join instead
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def rows() = Queries.q05NgramJaccard(spark, sf)
+        .select("a_id", "b_id").as[(String, String)].collect().toSet
+      val withBroadcast = rows()
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert(rows() == withBroadcast, s"q05 answers changed without broadcast at $sf")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("plan shape: build uses ObjectHashAggregate partials; scan prunes columns") {
     val df = TokensTable.dataframe(spark, 50, partitions = 2)
     val bqf = SketchAggregators.bqfOverFingerprintArrays(params)
