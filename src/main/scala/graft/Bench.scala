@@ -452,33 +452,59 @@ object Bench {
       // the worst case — random fingerprints touch EVERY bucket every
       // batch, so each micro-batch re-merges the whole store. Real corpora
       // (time-ordered crawls, per-source shards) concentrate each batch in
-      // a subset of the keyspace; here each batch carries one contiguous
-      // 1/8 of the fingerprint range, so live-file pruning + the delta
-      // merge should only pay for the touched buckets.
+      // a subset of the keyspace. A paired experiment with IDENTICAL batch
+      // count and sizes (only the bucket spread differs): CONTROL slices
+      // the doc range (uniform fps — every batch touches all buckets);
+      // SKEWED slices the fingerprint range (each batch touches 1/8 of
+      // buckets). Store-side pruning shows directly in parquet bytes read
+      // per batch (StageMetrics input bytes: the fp cache is memory-
+      // resident, so file input here is almost entirely the store scan).
       val skewBatches = 8
-      val skewStore = tmpDir.toString + "/store-skew"
       val shift = ip.hashBits - java.lang.Integer.numberOfTrailingZeros(ingestBuckets)
       val perSlice = ingestBuckets / skewBatches
-      val gS = gcMs()
-      val skewSecs = new Array[Double](skewBatches)
-      val (_, skewSec) = time {
+      val perDoc8 = (ingestDocs + skewBatches - 1) / skewBatches
+      val sm = graft.plans.StageMetrics.attach(spark)
+      def inputBytes(): Long = sm.all.map(_.inputBytes).sum
+      def ingestSeries(slice: Int => org.apache.spark.sql.DataFrame, storePath: String)
+          : (Array[Double], Array[Long], Double) = {
+        val secs = new Array[Double](skewBatches)
+        val bytes = new Array[Long](skewBatches)
         (0 until skewBatches).foreach { b =>
+          val b0 = inputBytes()
           val (_, s) = time {
             graft.streaming.IndexIngest.ingestBatch(
-              allFps.filter(shiftrightunsigned(col("fp"), shift)
-                .between(b * perSlice, (b + 1) * perSlice - 1)).select("fp"),
-              batchId = b.toLong, ip, ingestBuckets, skewStore)
+              slice(b), batchId = b.toLong, ip, ingestBuckets, storePath)
           }
-          skewSecs(b) = s
+          // listener events post async on the bus; a short drain keeps each
+          // batch's byte delta from bleeding into the next (outside the
+          // timed window — total is the sum of measured batch walls)
+          Thread.sleep(150)
+          secs(b) = s; bytes(b) = inputBytes() - b0
         }
+        (secs, bytes, secs.sum)
       }
+      val gS = gcMs()
+      val (ctlSecs, ctlBytes, ctlSec) = ingestSeries(
+        b => allFps.filter(col("i") >= b * perDoc8 &&
+          col("i") < math.min((b + 1L) * perDoc8, ingestDocs)).select("fp"),
+        tmpDir.toString + "/store-ctl")
+      val (skewSecs, skewBytes, skewSec) = ingestSeries(
+        b => allFps.filter(shiftrightunsigned(col("fp"), shift)
+          .between(b * perSlice, (b + 1) * perSlice - 1)).select("fp"),
+        tmpDir.toString + "/store-skew")
+      sm.detach(spark)
       phaseGc += "ingest_skewed" -> (gcMs() - gS)
       results += "ingest_skewed" -> skewSec
       ingestJson += s""","ingest_skewed":{"fps":$nFps,"batches":$skewBatches,""" +
         s""""touched_bucket_frac":${fmt4(perSlice.toDouble / ingestBuckets)},""" +
         s""""sec":${fmt4(skewSec)},"fps_per_sec":${(nFps / skewSec).toLong},""" +
-        s""""first_batch_sec":${fmt4(skewSecs.head)},"last_batch_sec":${fmt4(skewSecs.last)}}"""
-      detailExtra += s""""ingest_skewed_batch_secs":[${skewSecs.map(fmt4).mkString(",")}]"""
+        s""""store_bytes_read":${skewBytes.sum},""" +
+        s""""control_sec":${fmt4(ctlSec)},"control_fps_per_sec":${(nFps / ctlSec).toLong},""" +
+        s""""control_store_bytes_read":${ctlBytes.sum}}"""
+      detailExtra += s""""ingest_skewed_batch_secs":[${skewSecs.map(fmt4).mkString(",")}],""" +
+        s""""ingest_skewed_batch_bytes":[${skewBytes.mkString(",")}],""" +
+        s""""ingest_control_batch_secs":[${ctlSecs.map(fmt4).mkString(",")}],""" +
+        s""""ingest_control_batch_bytes":[${ctlBytes.mkString(",")}]"""
       System.err.println(f"[bench] ingest skewed: $nFps fps / $skewBatches range-batches in $skewSec%.1f s " +
         f"(${nFps / skewSec / 1e6}%.2f M/s, ${perSlice.toDouble / ingestBuckets}%.3f of buckets per batch)")
       allFps.unpersist(blocking = false)

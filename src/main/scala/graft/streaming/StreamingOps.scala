@@ -241,6 +241,11 @@ object IndexIngest {
     // hazard below.
     latestRows(spark.read.parquet(storeDir))
       .select(col("bucket"), col("sketch"), col("batch_id"))
+      // bucket-clustered output: the global sort range-partitions by bucket,
+      // so each compacted file covers a narrow bucket interval and its
+      // parquet footer min/max lets ingestBatch's touched-bucket isin skip
+      // whole files. Distributed (range shuffle), a maintenance-op cost.
+      .sort("bucket")
       .write.mode("overwrite").parquet(tmp.toString)
     // carry the routing sidecar (underscore files are invisible to the
     // parquet read above) across the swap
@@ -309,13 +314,6 @@ object IndexIngest {
         max("batch_id").as("mx"),
         max(when(col("batch_id") === batchId, 1L).otherwise(0L)).as("seen")).collect()
     if (meta.exists(_.getLong(2) == 1L)) return // replay: batchId already committed
-    val live =
-      if (store == null)
-        spark.emptyDataFrame
-          .withColumn("bucket", lit(0L)).withColumn("sketch", lit(Array.empty[Byte]))
-          .limit(0)
-      else latestRows(store, meta.map(_.getLong(1)).distinct)
-        .select(col("bucket"), col("sketch"))
     val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     // pre-aggregate: the exchange carries one (fp, count) per distinct
     // fingerprint per batch, and the UDAF does counted inserts
@@ -324,6 +322,30 @@ object IndexIngest {
       .groupBy("fp").agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", shiftrightunsigned(col("fp"), shift))
       .groupBy("bucket").agg(bqf(col("fp"), col("cnt")).as("partial"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // TOUCHED-BUCKET pruning: the left-outer join below discards every live
+    // row whose bucket this batch doesn't touch, so restricting the live
+    // side up front is a pure optimization — and the one that matters at
+    // scale: without it each micro-batch reads the sketch blobs of the
+    // WHOLE live store (O(store) I/O per batch); with it only the touched
+    // buckets' blobs are scanned, and because every appended file (and the
+    // bucket-clustered compact output) carries tight bucket min/max footer
+    // stats, the literal isin skips untouched FILES entirely. Per-batch
+    // cost becomes O(batch + touched shards), independent of store width.
+    // The collect is bounded by nBuckets rows; the partials cache also
+    // feeds the join, so the aggregation runs once.
+    val touched = partials.select("bucket").as[Long].collect()
+    val touchedSet = touched.toSet
+    val liveIds = meta.collect {
+      case r if touchedSet.contains(r.getLong(0)) => r.getLong(1)
+    }.distinct
+    val live =
+      if (store == null)
+        spark.emptyDataFrame
+          .withColumn("bucket", lit(0L)).withColumn("sketch", lit(Array.empty[Byte]))
+          .limit(0)
+      else latestRows(store.filter(col("bucket").isin(touched.map(Long.box): _*)), liveIds)
+        .select(col("bucket"), col("sketch"))
     val merged = partials
       .join(live, Seq("bucket"), "left_outer")
       .select(col("bucket"), col("partial"), col("sketch"))
@@ -349,6 +371,7 @@ object IndexIngest {
     // TWICE per micro-batch. An empty batch writes only parquet metadata,
     // and the committed() guard already makes replays no-ops either way.
     merged.write.mode("append").parquet(storeDir)
+    partials.unpersist(blocking = false)
     // same routing sidecar the CLI's build-index writes: it makes the
     // ingest store directly queryable by `graft.Cli query-index` (which
     // otherwise refuses to guess nBuckets) and guards against a future

@@ -290,6 +290,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(absent.count(fp => rows.getOrElse(fp, 0L) > 0) <= 2, "absent fps should probe ~0")
   }
 
+  test("ingestBatch touched-bucket pruning: disjoint range batches + mid-stream compact stay exact") {
+    // the pruning-relevant input shape: each batch touches a strict SUBSET
+    // of buckets (2 of 8), so the live-side read is filtered to the touched
+    // buckets and untouched shards are never deserialized. Two rounds over
+    // the same ranges with a compact between them exercise (a) pruned
+    // merge against appended files, (b) pruned merge against the
+    // bucket-clustered compacted store, (c) buckets re-touched after
+    // compaction. Exactness vs the multiset oracle proves the filter
+    // dropped nothing it needed.
+    import spark.implicits._
+    val params = graft.operators.BqfParams(qBits = 10, countBits = 16, hashBits = 32,
+      kTokens = 8, zTokens = 0, seed = 0L)
+    val nBuckets = 8
+    val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-skew").toString
+    val store = s"$tmp/idx"
+    val rnd = new scala.util.Random(47)
+    // duplicates included: counts > 1 must survive the pruned merges
+    val all = Vector.fill(4000)(rnd.nextInt(1200).toLong + 1)
+      .map(i => graft.core.Fingerprint.splitmix64(i) & ((1L << 32) - 1))
+    val (r1, r2) = all.splitAt(2000)
+    def slices(v: Vector[Long]): Seq[Vector[Long]] =
+      (0 until 4).map(g => v.filter { fp =>
+        val b = fp >>> shift; b >= g * 2 && b < (g + 1) * 2
+      })
+    slices(r1).zipWithIndex.foreach { case (s, i) =>
+      IndexIngest.ingestBatch(s.toDF("fp"), batchId = i.toLong, params, nBuckets, store)
+    }
+    IndexIngest.compact(spark, store)
+    slices(r2).zipWithIndex.foreach { case (s, i) =>
+      IndexIngest.ingestBatch(s.toDF("fp"), batchId = (i + 4).toLong, params, nBuckets, store)
+    }
+    val got = graft.plans.BqfPipeline.enumerateIndex(
+        IndexIngest.currentShards(spark, store))
+      .as[(Long, Long)].collect().toMap
+    val want = all.groupBy(identity).map { case (fp, occ) => fp -> occ.size.toLong }
+    assert(got == want, s"pruned ingest diverged: ${got.size} entries vs ${want.size}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("windowed streaming aggregation with watermark over events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
