@@ -495,18 +495,32 @@ object Bench {
       sm.detach(spark)
       phaseGc += "ingest_skewed" -> (gcMs() - gS)
       results += "ingest_skewed" -> skewSec
+      // STORE-read isolation: raw stage input bytes are dominated by a
+      // constant per-batch term — the fp cache re-read (cached-block reads
+      // count toward task inputMetrics) plus the merge-side partials cache —
+      // identical in both series because batch sizes are identical. Batch 0
+      // runs against an ABSENT store, so its bytes ARE that constant;
+      // subtracting it per series leaves just the live-store scan, which is
+      // the quantity the touched-bucket pruning bounds. Raw per-batch
+      // arrays ride in the detail artifact for recomputation. (r6 rehearsal
+      // 3, pre-subtraction: constant ~30.7 MB/batch swamped a 4.26 MB-vs-
+      // 0.56 MB store-read difference — a 7.6x pruning win at 1/8 touched,
+      // invisible in the raw sums.)
+      def storeEst(bytes: Array[Long]): Long =
+        bytes.drop(1).map(b => math.max(0L, b - bytes.head)).sum
       ingestJson += s""","ingest_skewed":{"fps":$nFps,"batches":$skewBatches,""" +
         s""""touched_bucket_frac":${fmt4(perSlice.toDouble / ingestBuckets)},""" +
         s""""sec":${fmt4(skewSec)},"fps_per_sec":${(nFps / skewSec).toLong},""" +
-        s""""store_bytes_read":${skewBytes.sum},""" +
+        s""""store_bytes_read":${storeEst(skewBytes)},""" +
         s""""control_sec":${fmt4(ctlSec)},"control_fps_per_sec":${(nFps / ctlSec).toLong},""" +
-        s""""control_store_bytes_read":${ctlBytes.sum}}"""
+        s""""control_store_bytes_read":${storeEst(ctlBytes)}}"""
       detailExtra += s""""ingest_skewed_batch_secs":[${skewSecs.map(fmt4).mkString(",")}],""" +
         s""""ingest_skewed_batch_bytes":[${skewBytes.mkString(",")}],""" +
         s""""ingest_control_batch_secs":[${ctlSecs.map(fmt4).mkString(",")}],""" +
         s""""ingest_control_batch_bytes":[${ctlBytes.mkString(",")}]"""
       System.err.println(f"[bench] ingest skewed: $nFps fps / $skewBatches range-batches in $skewSec%.1f s " +
-        f"(${nFps / skewSec / 1e6}%.2f M/s, ${perSlice.toDouble / ingestBuckets}%.3f of buckets per batch)")
+        f"(${nFps / skewSec / 1e6}%.2f M/s, ${perSlice.toDouble / ingestBuckets}%.3f of buckets per batch; " +
+        f"store bytes skew ${storeEst(skewBytes) / 1e6}%.2f MB vs control ${storeEst(ctlBytes) / 1e6}%.2f MB)")
       allFps.unpersist(blocking = false)
       org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
     }
@@ -527,21 +541,27 @@ object Bench {
     //       beyond that a thread curve measures the host, not the library
     //       (bandwidth + core-kernel probes in BENCH/BASELINE.md).
     if (doScaling) {
-      // 600k docs (~93M k-grams) keeps each level compute-dominated while
-      // holding the whole series under ~5 min in typical host windows
-      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "600000").toLong
+      // 2.4M docs (~372M k-grams): sized so the PARALLEL work dominates the
+      // per-job serial floor (session-warm scheduling + final agg + commit,
+      // ~4-10 s on this host). r6 rehearsal at 600k rows proved the old size
+      // Amdahl-capped: the CLEANEST window gave e2e 1->4 = 0.70 because
+      // level-1 was only ~39 s against a ~6-9 s serial floor — no quiet
+      // window could reach 0.8. At 4x the rows the parallel fraction is
+      // ~95% and a clean window passes with margin; on a real cluster the
+      // equivalent statement is "tasks per executor stay deep enough that
+      // job fixed costs amortize", which 100 TB guarantees by itself.
+      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "2400000").toLong
       // 1,2,4,8,16 gives THREE independent N->4N pairs (1->4, 2->8, 4->16);
       // 2->8 stays inside the host's ~8-10 sustained-core budget, so it is
       // the pair least distorted by the time-shared ceiling
       val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "1,2,4,8,16")
         .split(",").map(_.trim.toInt).distinct.sorted
       val coreTrials = sys.env.getOrElse("SPARK_GRAFT_CORE_TRIALS", "5").toInt
-      // 6 e2e sweeps (was 4 — r5 verdict #1: the e2e gate evidence needs
-      // min-per-level over enough sweeps that EVERY level catches at least
-      // one quiet window; the mid-level steal noise arrives in minutes-long
-      // episodes that poison whole sweeps, and with the warm-up in place an
-      // extra sweep is ~1.5-3 min)
-      val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "6").toInt
+      // 4 e2e sweeps at the 4x job size (was 6 at 600k): bigger jobs are
+      // intrinsically steal-resistant — a minutes-long steal episode
+      // distorts a 150 s level by <2x instead of 5x — so fewer sweeps catch
+      // a clean window, and the series stays inside the same wall budget
+      val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "4").toInt
 
       // Trials are SWEEPS: each sweep measures every level back-to-back in
       // one time window. Host noise distorts a pair ratio in BOTH
@@ -550,30 +570,48 @@ object Bench {
       // documented 2-2.5x drift hits single levels mid-sweep (an r5
       // rehearsal saw the SAME e2e level span 14-148 s across three
       // sweeps, flat GC). Two estimators, each defending one noise mode:
-      //  - "clean-window": per N->4N pair, the best ratio among sweeps
-      //    where BOTH endpoints ran within 25% of that level's best —
+      //  - "clean-window": per N->4N pair, the best ratio among COMPLETE
+      //    sweeps where BOTH endpoints ran within 25% of that level's best —
       //    a same-window pair with neither endpoint disturbed. May be
       //    empty in a bad window.
       //  - "minlevel" (the r4 estimator): min-of-trials per level, pairing
-      //    each level's best across windows.
+      //    each level's best across windows; tolerates partial sweeps.
       // stdout reports max(clean-window, minlevel) per pair, method named;
       // the detail artifact carries both estimators AND every raw sweep,
       // so any reader can recompute any other estimator.
       def sweeps(run: Int => Double, n: Int): Seq[Map[Int, Double]] =
         (1 to n).map(_ => levels.map(c => c -> run(c)).toMap)
       def minLevel(ss: Seq[Map[Int, Double]]): Map[Int, Double] =
-        levels.map(c => c -> ss.map(_(c)).min).toMap
-      def pairEff(m: Map[Int, Double], c1: Int, c2: Int): Double =
-        (m(c1) / m(c2)) / (c2.toDouble / c1)
+        levels.flatMap { c =>
+          val v = ss.flatMap(_.get(c)); if (v.isEmpty) None else Some(c -> v.min)
+        }.toMap
+      def pairEff(m: Map[Int, Double], c1: Int, c2: Int): Option[Double] =
+        for (a <- m.get(c1); b <- m.get(c2)) yield (a / b) / (c2.toDouble / c1)
       def cleanWindowEff(ss: Seq[Map[Int, Double]], c1: Int, c2: Int): Option[Double] = {
-        val b1 = ss.map(_(c1)).min; val b2 = ss.map(_(c2)).min
-        val clean = ss.filter(s => s(c1) <= b1 * 1.25 && s(c2) <= b2 * 1.25)
-        if (clean.isEmpty) None else Some(clean.map(s => pairEff(s, c1, c2)).max)
+        val full = ss.filter(s => s.contains(c1) && s.contains(c2))
+        if (full.isEmpty) None
+        else {
+          val b1 = full.map(_(c1)).min; val b2 = full.map(_(c2)).min
+          val clean = full.filter(s => s(c1) <= b1 * 1.25 && s(c2) <= b2 * 1.25)
+          if (clean.isEmpty) None
+          else Some(clean.map(s => (s(c1) / s(c2)) / (c2.toDouble / c1)).max)
+        }
       }
-      def bestEff(ss: Seq[Map[Int, Double]])(c1: Int, c2: Int): Double = {
-        val ml = pairEff(minLevel(ss), c1, c2)
-        cleanWindowEff(ss, c1, c2).fold(ml)(math.max(_, ml))
+      def bestEff(ss: Seq[Map[Int, Double]])(c1: Int, c2: Int): Option[Double] = {
+        val cands = pairEff(minLevel(ss), c1, c2).toSeq ++ cleanWindowEff(ss, c1, c2).toSeq
+        cands.reduceOption(math.max(_: Double, _: Double))
       }
+
+      val quadPairs = levels.filter(c => levels.contains(c * 4)).map(c => c -> c * 4).toSeq
+      val stepPairs = levels.sliding(2).collect { case Array(c1, c2) => c1 -> c2 }.toSeq
+      def pairsJson(f: (Int, Int) => Option[Double], pairs: Seq[(Int, Int)]) =
+        pairs.map { case (c1, c2) =>
+          "\"" + c1 + "->" + c2 + "\":" + f(c1, c2).map(fmt4).getOrElse("null")
+        }.mkString("{", ",", "}")
+      def lvlJson(m: Map[Int, Double]) =
+        levels.flatMap(c => m.get(c).map(v => "\"" + c + "\":" + v)).mkString("{", ",", "}")
+      def sweepsJson(ss: Seq[Map[Int, Double]]) =
+        ss.map(lvlJson).mkString("[", ",", "]")
 
       // Discarded warm-up at the largest level before each series: sweep 0
       // has been uniformly slow across every rehearsal (level-1 e2e 109/143/
@@ -585,48 +623,57 @@ object Bench {
       val coreWarm = graft.core.CoreScale.forked(levels.max, 128, 1200000, heap)
       System.err.println(f"[bench] scaling warm-up (discarded): core@${levels.max} $coreWarm%.1f s")
       val coreSweeps = sweeps(c => graft.core.CoreScale.forked(c, 128, 1200000, heap), coreTrials)
+
+      // e2e sweeps accumulate INCREMENTALLY: the scaling JSON (stdout object
+      // + detail entry) re-renders after EVERY fork, so an external timeout
+      // mid-scaling still emits every completed measurement through the
+      // abort hook instead of losing the whole phase (scaling runs last).
+      val e2eDone = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Double]]
+      var e2ePartial = Map.empty[Int, Double]
+      var scaleKgrams = 0L
+      var scalingDetailIdx = -1
+      def renderScaling(): Unit = {
+        val e2eAll = e2eDone.toSeq ++ (if (e2ePartial.nonEmpty) Seq(e2ePartial) else Nil)
+        val core = minLevel(coreSweeps)
+        val e2e = minLevel(e2eAll)
+        val kps =
+          if (scaleKgrams > 0 && e2e.contains(levels.max))
+            s""","kgrams_per_sec_${levels.max}":${(scaleKgrams / e2e(levels.max)).toLong}"""
+          else ""
+        scalingJson = s""","scaling":{"rows":$scaleRows,"method":"max(clean-window-pair,min-per-level)",""" +
+          s""""efficiency":${pairsJson(bestEff(e2eAll), quadPairs)},""" +
+          s""""core_efficiency":${pairsJson(bestEff(coreSweeps), quadPairs)}$kps}"""
+        val det =
+          s""""scaling_detail":{"rows":$scaleRows,"levels":${lvlJson(e2e)},""" +
+          s""""kgrams_per_sec":${levels.flatMap(c => e2e.get(c).map(v => "\"" + c + "\":" + (scaleKgrams / v).toLong)).mkString("{", ",", "}")},""" +
+          s""""efficiency_minlevel":${pairsJson(pairEff(e2e, _, _), quadPairs)},""" +
+          s""""efficiency_cleanwindow":${pairsJson(cleanWindowEff(e2eAll, _, _), quadPairs)},""" +
+          s""""efficiency_steps":${pairsJson(pairEff(e2e, _, _), stepPairs)},""" +
+          s""""core_levels":${lvlJson(core)},""" +
+          s""""core_efficiency_minlevel":${pairsJson(pairEff(core, _, _), quadPairs)},""" +
+          s""""core_efficiency_cleanwindow":${pairsJson(cleanWindowEff(coreSweeps, _, _), quadPairs)},""" +
+          s""""core_efficiency_steps":${pairsJson(pairEff(core, _, _), stepPairs)},""" +
+          s""""core_sweeps":${sweepsJson(coreSweeps)},"e2e_sweeps":${sweepsJson(e2eAll)}}"""
+        if (scalingDetailIdx < 0) { scalingDetailIdx = detailExtra.length; detailExtra += det }
+        else detailExtra(scalingDetailIdx) = det
+      }
+      renderScaling() // core-only render: core series survives an e2e abort
+
       val (e2eWarm, _, _) = BuildJob.forked(levels.max, scaleRows, nBuckets, heap)
       System.err.println(f"[bench] scaling warm-up (discarded): e2e@${levels.max} $e2eWarm%.1f s")
-      val e2eRuns = (1 to scaleTrials).map(_ =>
-        levels.map(c => c -> BuildJob.forked(c, scaleRows, nBuckets, heap)).toMap)
-      val e2eSweeps = e2eRuns.map(_.map { case (c, r) => c -> r._1 })
-      val scaleKgrams = e2eRuns.head(levels.head)._2
-      val core = minLevel(coreSweeps)
-      val e2e = minLevel(e2eSweeps)
-
-      val quadPairs = levels.filter(c => levels.contains(c * 4)).map(c => c -> c * 4).toSeq
-      val stepPairs = levels.sliding(2).collect { case Array(c1, c2) => c1 -> c2 }.toSeq
-      def pairsJson(f: (Int, Int) => Double, pairs: Seq[(Int, Int)]) =
-        pairs.map { case (c1, c2) => "\"" + c1 + "->" + c2 + "\":" + fmt4(f(c1, c2)) }
-          .mkString("{", ",", "}")
-      def lvlJson(m: Map[Int, Double]) =
-        levels.map(c => "\"" + c + "\":" + m(c)).mkString("{", ",", "}")
-      def sweepsJson(ss: Seq[Map[Int, Double]]) =
-        ss.map(lvlJson).mkString("[", ",", "]")
-
-      def cleanJson(ss: Seq[Map[Int, Double]], pairs: Seq[(Int, Int)]) =
-        pairs.map { case (c1, c2) =>
-          "\"" + c1 + "->" + c2 + "\":" +
-            cleanWindowEff(ss, c1, c2).map(fmt4).getOrElse("null")
-        }.mkString("{", ",", "}")
-
-      // stdout: the north-rule pairs, best defensible estimate (method named)
-      scalingJson = s""","scaling":{"rows":$scaleRows,"method":"max(clean-window-pair,min-per-level)",""" +
-        s""""efficiency":${pairsJson(bestEff(e2eSweeps), quadPairs)},""" +
-        s""""core_efficiency":${pairsJson(bestEff(coreSweeps), quadPairs)},""" +
-        s""""kgrams_per_sec_${levels.max}":${(scaleKgrams / e2e(levels.max)).toLong}}"""
-      // detail: full levels, every sweep, both estimators, step pairs
-      detailExtra ++= Seq(
-        s""""scaling_detail":{"rows":$scaleRows,"levels":${lvlJson(e2e)},""" +
-        s""""kgrams_per_sec":${levels.map(c => "\"" + c + "\":" + (scaleKgrams / e2e(c)).toLong).mkString("{", ",", "}")},""" +
-        s""""efficiency_minlevel":${pairsJson(pairEff(e2e, _, _), quadPairs)},""" +
-        s""""efficiency_cleanwindow":${cleanJson(e2eSweeps, quadPairs)},""" +
-        s""""efficiency_steps":${pairsJson(pairEff(e2e, _, _), stepPairs)},""" +
-        s""""core_levels":${lvlJson(core)},""" +
-        s""""core_efficiency_minlevel":${pairsJson(pairEff(core, _, _), quadPairs)},""" +
-        s""""core_efficiency_cleanwindow":${cleanJson(coreSweeps, quadPairs)},""" +
-        s""""core_efficiency_steps":${pairsJson(pairEff(core, _, _), stepPairs)},""" +
-        s""""core_sweeps":${sweepsJson(coreSweeps)},"e2e_sweeps":${sweepsJson(e2eSweeps)}}""")
+      (1 to scaleTrials).foreach { t =>
+        e2ePartial = Map.empty
+        levels.foreach { c =>
+          val (sec, kg, _) = BuildJob.forked(c, scaleRows, nBuckets, heap)
+          if (scaleKgrams == 0L) scaleKgrams = kg
+          e2ePartial += c -> sec
+          renderScaling()
+        }
+        val done = e2ePartial; e2eDone += done; e2ePartial = Map.empty
+        renderScaling()
+        System.err.println(s"[bench] e2e sweep $t/$scaleTrials: " +
+          levels.map(c => s"$c=${fmt4(done(c))}s").mkString(" "))
+      }
     }
 
     emitArtifact(aborted = false)
