@@ -557,11 +557,14 @@ object Bench {
       val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "1,2,4,8,16")
         .split(",").map(_.trim.toInt).distinct.sorted
       val coreTrials = sys.env.getOrElse("SPARK_GRAFT_CORE_TRIALS", "5").toInt
-      // 4 e2e sweeps at the 4x job size (was 6 at 600k): bigger jobs are
+      // 5 e2e sweeps at the 4x job size (was 6 at 600k): bigger jobs are
       // intrinsically steal-resistant — a minutes-long steal episode
-      // distorts a 150 s level by <2x instead of 5x — so fewer sweeps catch
-      // a clean window, and the series stays inside the same wall budget
-      val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "4").toInt
+      // distorts a 150 s level by <2x instead of 5x. Three same-size
+      // rehearsals measured P(a sweep catches level-4 quiet) ~ 1/3 in
+      // rolling-steal windows, so the 5th sweep buys real pass
+      // probability; scaling runs LAST and renders incrementally, so even
+      // a driver timeout mid-sweep keeps every completed fork
+      val scaleTrials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "5").toInt
 
       // Trials are SWEEPS: each sweep measures every level back-to-back in
       // one time window. Host noise distorts a pair ratio in BOTH
