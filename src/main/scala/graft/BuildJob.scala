@@ -197,14 +197,35 @@ object BuildJob {
   }
 
   /** tmpfs scratch for forked-JVM shuffle files (Spark creates per-app
-    * subdirs inside and removes them on exit). Falls back to the JVM's
-    * default tmpdir when /dev/shm is absent.
+    * subdirs inside and removes them on exit). tmpfs is RAM-backed, so two
+    * guards (ADVICE r6): (1) require enough usable space for the largest
+    * job's shuffle footprint (~3 GB of uncompressed fingerprints at the
+    * 2.4M-row scaling size) plus slack, else fall back to the disk tmpdir;
+    * (2) sweep per-app subdirs leaked by crashed forks — Spark only removes
+    * them on graceful exit — but ONLY stale ones (>2 h old), because a live
+    * harness session and the current fork share this directory.
     */
   private[graft] def shmLocalDir: String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
       val d = shm.resolve("graft-spark-local")
-      try java.nio.file.Files.createDirectories(d) catch { case _: Exception => () }
+      try {
+        java.nio.file.Files.createDirectories(d)
+        val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+        val it = java.nio.file.Files.list(d).iterator()
+        while (it.hasNext) {
+          val sub = it.next()
+          if (java.nio.file.Files.getLastModifiedTime(sub).toMillis < cutoff)
+            try org.apache.commons.io.FileUtils.deleteQuietly(sub.toFile)
+            catch { case _: Exception => () }
+        }
+        val usable = java.nio.file.Files.getFileStore(shm).getUsableSpace
+        if (usable < 8L * 1024 * 1024 * 1024) {
+          System.err.println(s"[graft] /dev/shm usable ${usable >> 20} MB < 8 GiB; " +
+            "shuffle scratch falls back to java.io.tmpdir")
+          return System.getProperty("java.io.tmpdir")
+        }
+      } catch { case _: Exception => () }
       d.toString
     } else System.getProperty("java.io.tmpdir")
   }
