@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   *   query       -b <sketch file> -i <tokens parquet> -o <results parquet>
   *   filter      -i <tokens parquet> -o <out path> [-k K] [-f parquet|text|stream]
   *   enumerate   -b <sketch file> -o <out parquet>
+  *   export      -b <sketch file (own or reference fmt)> -o <reference .bqf>
   *   build-index -i <tokens parquet> -o <shards parquet> [-n BUCKETS ...]
   *   query-index -b <shards parquet> -i <tokens parquet> -o <out parquet>
   *
@@ -49,7 +50,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Cli build|query|filter|enumerate|build-index|query-index -i IN [-b SKETCH] [-o OUT] [-q Q -c C -k K -z Z] [-n BUCKETS] [-f parquet|text]")
+      System.err.println("usage: graft.Cli build|query|filter|enumerate|export|build-index|query-index -i IN [-b SKETCH] [-o OUT] [-q Q -c C -k K -z Z] [-n BUCKETS] [-f parquet|text]")
       sys.exit(2)
     }
     val verb = args.head
@@ -204,21 +205,36 @@ object Cli {
 
       case "enumerate" =>
         // reference-format files enumerate too (migration surface): entries
-        // come out in the reference hash domain, plus the DECODED smer via
-        // the reversible bfc hash — hash_to_kmer, additional_methods.cpp:222
+        // come out in the reference hash domain, plus the decoded CANONICAL
+        // smer — the invertible decode (smerHash(smer) == fingerprint), so
+        // rebuilding an index from this dump reproduces the original's
+        // answers. (ADVICE r6: the earlier hash_to_kmer decode used the
+        // insert-side codec, whose strings do NOT re-hash to their
+        // fingerprints — a rebuild from that dump answered zero to all.)
         if (graft.sources.ReferenceFormat.isReferenceFile(opts("-b"))) {
           import spark.implicits._
           val rf = graft.sources.ReferenceFormat.load(opts("-b"))
           val s = rf.header.smerSize
-          val mask = graft.core.Bits.maskRight(2 * s)
           rf.entries().toSeq.toDF("fingerprint", "abundance")
-            .withColumn("smer", udf((fp: Long) => graft.sources.DnaDomain.decodeSmer(
-              graft.sources.DnaDomain.bfcHash64Inv(fp, mask), s)).apply(col("fingerprint")))
+            .withColumn("smer", udf((fp: Long) =>
+              graft.sources.DnaDomain.decodeSmerCanonical(fp, s)).apply(col("fingerprint")))
             .write.mode("overwrite").parquet(opts("-o"))
         } else {
           val q = new BqfQuery(spark, BackpackFilter.loadFromFile(opts("-b")).serialize())
           q.enumerateDF().write.mode("overwrite").parquet(opts("-o"))
         }
+
+      case "export" =>
+        // two-way migration, write side: -b is either a reference-format
+        // file (normalize round-trip) or an own-format DNA-domain sketch;
+        // -o receives a reference-format .bqf the C++ tooling's
+        // load_from_disk reads directly
+        val bf =
+          if (graft.sources.ReferenceFormat.isReferenceFile(opts("-b")))
+            graft.sources.ReferenceFormat.load(opts("-b")).toBackpackFilter
+          else BackpackFilter.loadFromFile(opts("-b"))
+        graft.sources.ReferenceFormat.save(bf, opts("-o"))
+        println(s"Exported ${bf.distinctCount} smers to reference format (q=${bf.quotientBits})")
 
       case "build-index" =>
         // sharded index persisted as a (bucket, sketch) parquet store — the

@@ -88,6 +88,13 @@ final class BackpackFilter(
   def distinctCount: Long = nDistinct
   def capacity: Long = sizeLimit
   def sizeInWords: Int = table.length
+  /** Raw packed table for reference-format export: the in-memory block
+    * layout (offset word, occupieds, runends, 64 slots of
+    * `hashBits-q+countBits` bits per 64-slot block) IS the reference's
+    * on-disk word layout (rsqf.cpp:452-460), so
+    * [[graft.sources.ReferenceFormat.save]] dumps these words verbatim.
+    */
+  private[graft] def rawTableWords: Array[Long] = table
 
   // =====================================================================
   // metadata word accessors (offset word 0, occupieds 1, runends 2)
@@ -1259,14 +1266,13 @@ object BackpackFilter {
     def tableWords: Long = (1L << quotientSize) * (3L + remainderSize) / 64L
   }
 
-  /** Loader shim for a reference-written `.bqf` file header. The TABLE is
-    * not converted: the reference fingerprints 2-bit nucleotide codes with
-    * its reversible xorshift hash, so its entries answer queries in a
-    * different fingerprint domain — a byte-identical import would be
-    * semantically wrong (see README §On-disk sketch format). The header is
-    * enough to inspect a reference sketch and size an equivalent
-    * [[BackpackFilter]]; port contents by re-building from the reference's
-    * enumerated (s-mer, count) dump.
+  /** Header reader for a reference-written `.bqf` file. Full two-way
+    * migration lives in [[graft.sources.ReferenceFormat]]: `load` imports
+    * the table into a queryable filter in the reference's DNA hash domain,
+    * `save` writes a DNA-domain [[BackpackFilter]] back into this exact
+    * format (the reference's own `load_from_disk` reads it). Token-domain
+    * filters (XXH64 fingerprints) stay in this library's 11-field format —
+    * their entries would be meaningless to the reference's DNA query chain.
     */
   def readReferenceHeader(path: String): ReferenceHeader = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))

@@ -111,7 +111,9 @@ class CliSpec extends AnyFunSuite {
     assert(got == want, s"reference query text mismatch:\n${got.take(3).mkString("\n")}\nvs\n${want.take(3).mkString("\n")}")
 
     // enumerate over the same file matches the reference's own enumerate,
-    // and the decoded smer column re-hashes (insert-side codec) to the fp
+    // and the decoded smer column is the TRUE canonical s-mer (ADVICE r6):
+    // it re-hashes through the operative query chain to its fingerprint, so
+    // an index rebuilt from this dump answers the original's queries
     Cli.main(Array("enumerate", "-b", bqf.toString, "-o", s"$dir/ref_enum.parquet"))
     val en = spark.read.parquet(s"$dir/ref_enum.parquet")
       .select("fingerprint", "abundance", "smer")
@@ -120,12 +122,60 @@ class CliSpec extends AnyFunSuite {
       getClass.getResourceAsStream("/reference_interop/golden_enum.tsv"))
       .getLines().map { l => val Array(h, c) = l.split("\t"); (h.toLong, c.toLong) }.toMap
     assert(en.map(e => (e._1, e._2)).toMap == wantEnum)
-    val mask = graft.core.Bits.maskRight(16)
     en.foreach { case (fp, _, smer) =>
-      assert(graft.sources.DnaDomain.bfcHash64(
-        graft.sources.DnaDomain.encode(smer), mask) == fp,
+      assert(graft.sources.DnaDomain.smerHash(smer, 8) == fp,
         s"decoded smer $smer does not re-hash to $fp")
     }
+    // rebuild-from-dump answers the original's queries: insert the dumped
+    // (smer, abundance) pairs into a fresh DNA-domain filter and re-run the
+    // golden sequences through it — same text the reference printed
+    val rebuilt = new graft.core.BackpackFilter(
+      10, 5, 16, graft.core.CountMode.Exact, 12, 4, 0L)
+    en.foreach { case (_, ab, smer) =>
+      rebuilt.add(graft.sources.DnaDomain.smerHash(smer, 8), ab) }
+    goldenQ.foreach { p =>
+      val (m, x, _, _) = graft.sources.DnaDomain.querySequence(
+        p(0), 12, 8, rebuilt.abundance)
+      assert(m == p(1).toLong && x == p(2).toLong,
+        s"rebuilt-from-dump query mismatch on ${p(0)}")
+    }
+  }
+
+  test("export verb: reference round-trip byte-identical; exported file queryable") {
+    import scala.jdk.CollectionConverters._
+    val bqf = java.nio.file.Paths.get(dir, "golden_ref2.bqf")
+    java.nio.file.Files.copy(
+      getClass.getResourceAsStream("/reference_interop/golden.bqf"), bqf,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Cli.main(Array("export", "-b", bqf.toString, "-o", s"$dir/exported.bqf"))
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/exported.bqf")),
+      java.nio.file.Files.readAllBytes(bqf)),
+      "exported bytes differ from the reference-written original")
+    // export -> import -> query equality: the exported file answers the
+    // golden DNA queries with the same text the reference printed
+    val goldenQ = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/reference_interop/golden_queries.tsv"))
+      .getLines().toVector.map(_.split("\t"))
+    val qfile = java.nio.file.Paths.get(dir, "dna_queries2.txt")
+    java.nio.file.Files.write(qfile, goldenQ.map(_(0)).mkString("\n").getBytes)
+    Cli.main(Array("query", "-b", s"$dir/exported.bqf", "-i", qfile.toString,
+      "-o", s"$dir/dna_q2.out"))
+    val got = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "dna_q2.out")).asScala.toVector
+    val want = goldenQ.zipWithIndex.map { case (p, i) =>
+      s"Sequence${i + 1} : (min:${p(1)}, max:${p(2)}, average:${p(3)}, " +
+        s"presence ratio:${p(4)})"
+    }
+    assert(got == want, "export->import->query text mismatch")
+    // token-domain sketches are refused (would mis-migrate silently)
+    if (!new java.io.File(s"$dir/sketch.bqf").exists())
+      Cli.main(Array("build", "-i", s"$dir/tokens.parquet", "-o", s"$dir/sketch.bqf",
+        "-q", "14", "-c", "8", "-k", "8", "-z", "2"))
+    val e = intercept[IllegalArgumentException] {
+      Cli.main(Array("export", "-b", s"$dir/sketch.bqf", "-o", s"$dir/bad.bqf"))
+    }
+    assert(e.getMessage.contains("DNA-domain"))
   }
 
   test("filter -f text emits decoded k-grams with counts == SQL count>=2") {

@@ -89,6 +89,63 @@ class ReferenceFormatSpec extends AnyFunSuite {
     assert(DnaDomain.revcomp64(acgt, 8) == acgt)
   }
 
+  test("export: save() is byte-identical to the reference's own save_on_disk") {
+    val want = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(filterFile))
+    // (a) migration round-trip: import the reference-written file, rebuild,
+    // export — byte-for-byte the file the compiled C++ binary wrote
+    val rt = java.nio.file.Files.createTempFile("export_rt", ".bqf").toString
+    ReferenceFormat.save(ReferenceFormat.load(filterFile).toBackpackFilter, rt)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(rt)), want),
+      "round-trip export differs from the reference-written bytes")
+    // (b) stronger: a filter built entirely through OUR insert path from the
+    // counted dump (never touching the golden bytes) exports byte-identical
+    // too — the insert layout is canonical, matching the reference's.
+    // Cross-checked once outside sbt: the compiled reference binary
+    // load_from_disk's this exported file and reproduces golden_queries.tsv
+    // bit-for-bit (src/test/resources/reference_interop/verifier.cpp).
+    val bf = new graft.core.BackpackFilter(
+      10, 5, 16, graft.core.CountMode.Exact, 12, 4, 0L)
+    lines("golden_counted.tsv").foreach { l =>
+      val Array(s, c) = l.split("\t")
+      bf.add(DnaDomain.smerHash(s, 8), c.toLong)
+    }
+    val own = java.nio.file.Files.createTempFile("export_own", ".bqf").toString
+    ReferenceFormat.save(bf, own)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(own)), want),
+      "insert-path export differs from the reference-written bytes")
+  }
+
+  test("export refuses token-domain and OOM filters with a clear message") {
+    // token-domain: hashBits != 2*s — XXH64 fingerprints would load in the
+    // C++ tooling but answer garbage to its nucleotide query chain
+    val tok = new graft.core.BackpackFilter(
+      10, 5, 48, graft.core.CountMode.Exact, 8, 2, 0L)
+    val e1 = intercept[IllegalArgumentException] {
+      ReferenceFormat.save(tok, java.nio.file.Files.createTempFile("x", ".bqf").toString)
+    }
+    assert(e1.getMessage.contains("DNA-domain"))
+    val oom = new graft.core.BackpackFilter(
+      10, 5, 16, graft.core.CountMode.OrderOfMagnitude, 12, 4, 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      ReferenceFormat.save(oom, java.nio.file.Files.createTempFile("x", ".bqf").toString)
+    }
+    assert(e2.getMessage.contains("OOM"))
+  }
+
+  test("decodeSmerCanonical inverts smerHash for every golden entry (ADVICE r6)") {
+    // the enumerate dump's smer column must re-hash to its fingerprint, so a
+    // rebuild-from-dump reproduces the original index's answers
+    ReferenceFormat.load(filterFile).entries().foreach { case (fp, _) =>
+      val smer = DnaDomain.decodeSmerCanonical(fp, 8)
+      assert(DnaDomain.smerHash(smer, 8) == fp,
+        s"decoded smer $smer does not re-hash to $fp")
+      // and the decode is the canonical representative (idempotent)
+      assert(DnaDomain.decodeSmerCanonical(DnaDomain.smerHash(smer, 8), 8) == smer)
+    }
+  }
+
   test("sequence queries match the reference's query() output bit-for-bit") {
     val f = ReferenceFormat.load(filterFile)
     val bf = f.toBackpackFilter
