@@ -708,34 +708,43 @@ object Bench {
       def sweepsJson(ss: Seq[Map[Int, Double]]) =
         ss.map(lvlJson).mkString("[", ",", "]")
 
-      // ---- budget gating (r6 verdict #1b) ----
-      // Per-(series, level) wall estimates: worst observed fork at that
-      // level, else the worst inverse-linear extrapolation from any
-      // observed level of the same series (a level-1 fork ~ 4x a level-4
-      // fork). A fork only launches when the remaining budget covers its
-      // estimate with 25% slack plus an emission reserve; otherwise the
-      // series stops CLEANLY (flagged in the scaling JSON) and whatever
-      // completed is already rendered incrementally.
+      // ---- budget gating (r6 verdict #1b; retuned r7 rehearsal 1) ----
+      // Per-(series, level) wall estimates are CAPABILITY estimates: the
+      // BEST observed fork at that level, else the best inverse-linear
+      // extrapolation from any observed level of the same series (a
+      // level-1 fork ~ 4x a level-4 fork). A fork launches when the
+      // remaining budget covers 1.5x its estimate plus an emission
+      // reserve. Worst-observed estimates (rehearsal 1) ratcheted UP in a
+      // steal storm: one 188 s warm-up (vs ~50 s steady) priced level-1 at
+      // 755 s and stopped the WHOLE e2e series with 1130 s still unspent —
+      // zero sweeps in the artifact. Min-based estimates recover as soon
+      // as one quiet fork lands; the 1.5x covers fork-to-fork noise, and
+      // an overrun is caught at the next gate (the abort path is
+      // headline-first, so even an external kill leaves a parseable line).
+      // A level that doesn't fit is SKIPPED (partial sweeps are fine —
+      // every estimator tolerates them); the series stops only when its
+      // CHEAPEST level (highest core count) no longer fits.
       var budgetStop = false      // stops the CURRENT series' loops
       var anyBudgetStop = false   // sticky, reported in the scaling JSON
       val reserveSec = 60.0
       val estWall = scala.collection.mutable.Map.empty[(String, Int), Double]
       def noteWall(series: String, c: Int, w: Double): Unit = {
         val k = (series, c)
-        estWall(k) = math.max(estWall.getOrElse(k, 0.0), w)
+        estWall(k) = math.min(estWall.getOrElse(k, Double.MaxValue), w)
       }
       def estimateWall(series: String, c: Int): Double =
-        estWall.getOrElse((series, c),
-          estWall.collect { case ((s, cc), w) if s == series => w * cc / c.toDouble }
-            .foldLeft(0.0)(math.max))
-      def fits(series: String, c: Int, extraReserve: Double = 0.0): Boolean = {
+        estWall.getOrElse((series, c), {
+          val ex = estWall.collect { case ((s, cc), w) if s == series => w * cc / c.toDouble }
+          if (ex.isEmpty) 0.0 else ex.min
+        })
+      def fits(series: String, c: Int, cheapest: Int, extraReserve: Double = 0.0): Boolean = {
         val e = estimateWall(series, c)
-        val ok = remainingSec() > e * 1.25 + reserveSec + extraReserve
+        val ok = remainingSec() > e * 1.5 + reserveSec + extraReserve
         if (!ok) {
-          budgetStop = true
           anyBudgetStop = true
-          System.err.println(f"[bench] budget stop before $series@$c: " +
-            f"${remainingSec()}%.0f s left < est $e%.0f s * 1.25 + reserve")
+          if (c == cheapest) budgetStop = true
+          System.err.println(f"[bench] budget ${if (c == cheapest) "stop" else "skip"} before $series@$c: " +
+            f"${remainingSec()}%.0f s left < est $e%.0f s * 1.5 + reserve")
         }
         ok
       }
@@ -792,15 +801,21 @@ object Bench {
       // warm-up + ~3 core sweeps (coreReserveSec) is withheld from every
       // e2e gate so the cheap per-executor core series always lands too.
       val coreReserveSec = sys.env.getOrElse("SPARK_GRAFT_CORE_RESERVE_SEC", "360").toDouble
-      if (fits("e2e", e2eLevels.max, coreReserveSec)) {
+      val e2eCheapest = e2eLevels.max
+      if (fits("e2e", e2eCheapest, e2eCheapest, coreReserveSec)) {
         val (e2eWarm, _, _) = BuildJob.forked(e2eLevels.max, scaleRows, nBuckets, heap)
-        noteWall("e2e", e2eLevels.max, e2eWarm)
+        // the warm-up is uniformly 1.5-3x steady-state (cold host: CPU
+        // frequency/hypervisor credit spin-up, cold page cache — 109-188 s
+        // observed vs 41-56 s steady at the same level), so as a
+        // CALIBRATION observation it enters at half weight; the first real
+        // fork replaces it under min semantics either way
+        noteWall("e2e", e2eLevels.max, e2eWarm * 0.5)
         System.err.println(f"[bench] scaling warm-up (discarded): e2e@${e2eLevels.max} $e2eWarm%.1f s")
         var t = 1
         while (t <= scaleTrials && !budgetStop) {
           e2ePartial = Map.empty
           e2eLevels.foreach { c =>
-            if (!budgetStop && fits("e2e", c, coreReserveSec)) {
+            if (!budgetStop && fits("e2e", c, e2eCheapest, coreReserveSec)) {
               val (sec, kg, _) = BuildJob.forked(c, scaleRows, nBuckets, heap)
               if (scaleKgrams == 0L) scaleKgrams = kg
               noteWall("e2e", c, sec)
@@ -821,15 +836,16 @@ object Bench {
       // core series: budgetStop is reset so the protected reserve is
       // actually usable after an e2e budget stop
       budgetStop = false
-      if (fits("core", coreLevels.max)) {
+      val coreCheapest = coreLevels.max
+      if (fits("core", coreCheapest, coreCheapest)) {
         val coreWarm = graft.core.CoreScale.forked(coreLevels.max, 128, 1200000, heap)
-        noteWall("core", coreLevels.max, coreWarm)
+        noteWall("core", coreLevels.max, coreWarm * 0.5)
         System.err.println(f"[bench] scaling warm-up (discarded): core@${coreLevels.max} $coreWarm%.1f s")
         var t = 1
         while (t <= coreTrials && !budgetStop) {
           val m = scala.collection.mutable.Map.empty[Int, Double]
           coreLevels.foreach { c =>
-            if (!budgetStop && fits("core", c)) {
+            if (!budgetStop && fits("core", c, coreCheapest)) {
               val w = graft.core.CoreScale.forked(c, 128, 1200000, heap)
               noteWall("core", c, w)
               m(c) = w
