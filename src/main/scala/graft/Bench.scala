@@ -800,8 +800,18 @@ object Bench {
       // obligation, so it gets budget priority. A reserve sized to one core
       // warm-up + ~3 core sweeps (coreReserveSec) is withheld from every
       // e2e gate so the cheap per-executor core series always lands too.
-      val coreReserveSec = sys.env.getOrElse("SPARK_GRAFT_CORE_RESERVE_SEC", "360").toDouble
+      // 300 s: one core warm-up + 4 sweeps measured ~240 s (rehearsals 2/3);
+      // the old 360 twice pinched a level-1 e2e fork that would have fit
+      // (reh3: 603 s left vs a 645 s gate for a 150 s fork)
+      val coreReserveSec = sys.env.getOrElse("SPARK_GRAFT_CORE_RESERVE_SEC", "300").toDouble
       val e2eCheapest = e2eLevels.max
+      // a sweep that can hold fewer than TWO levels cannot form a
+      // same-window pair — lone cheap-level forks only polish a min-level
+      // denominator (reh3 spent ~105 s on two lone level-4 sweeps after the
+      // expensive levels stopped fitting); end the series instead
+      def pairableLevels(): Int = e2eLevels.count { c =>
+        remainingSec() > estimateWall("e2e", c) * 1.5 + reserveSec + coreReserveSec
+      }
       if (fits("e2e", e2eCheapest, e2eCheapest, coreReserveSec)) {
         val (e2eWarm, _, _) = BuildJob.forked(e2eLevels.max, scaleRows, nBuckets, heap)
         // the warm-up is uniformly 1.5-3x steady-state (cold host: CPU
@@ -812,7 +822,15 @@ object Bench {
         noteWall("e2e", e2eLevels.max, e2eWarm * 0.5)
         System.err.println(f"[bench] scaling warm-up (discarded): e2e@${e2eLevels.max} $e2eWarm%.1f s")
         var t = 1
-        while (t <= scaleTrials && !budgetStop) {
+        while (t <= scaleTrials && !budgetStop && {
+          val p = pairableLevels()
+          if (p < 2) {
+            anyBudgetStop = true
+            System.err.println(f"[bench] budget stop: only $p e2e level(s) still fit " +
+              f"(${remainingSec()}%.0f s left) — no same-window pair possible")
+          }
+          p >= 2
+        }) {
           e2ePartial = Map.empty
           e2eLevels.foreach { c =>
             if (!budgetStop && fits("e2e", c, e2eCheapest, coreReserveSec)) {
