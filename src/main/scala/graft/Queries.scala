@@ -1011,6 +1011,41 @@ object Queries {
       s"xor(${pfx}_3, ${pfx}_3 >> 31) AS $pfx"
   }
 
+  /** Closed-form DuckDB recomputation of every q07 SimHash signature.
+    * The kernel's feature hash is splitmix64(poly31(window) + 0) by design
+    * (KGramKernels.simhash) so the oracle can rebuild it exactly: base-31
+    * polynomial over each 12-char window's codepoints (ASCII corpus:
+    * codepoints == the kernel's code units) in HUGEINT mod-2^64 arithmetic,
+    * the same splitmix64 limb emulation as the q36 oracle, then 64 per-bit
+    * +-1 vote sums per document and sign -> bit (tie -> 0). Short documents
+    * (< 12 chars) sign to 0, matching the kernel's empty-window return.
+    */
+  private def q07OracleSql: String = {
+    val mod = "18446744073709551616::HUGEINT"
+    val two64 = BigInt(2).pow(64)
+    val pows = (1 to 12).map(j => BigInt(31).modPow(BigInt(12 - j), two64))
+    val baseSum = (1 to 12).map(j =>
+      s"CAST(ascii(substr(shingle, $j, 1)) AS HUGEINT) * ${pows(j - 1)}::HUGEINT").mkString(" + ")
+    val voteCols = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val sigSum = (0 until 64).map { b =>
+      s"CASE WHEN v$b > 0 THEN ${BigInt(2).pow(b)}::HUGEINT ELSE 0::HUGEINT END"
+    }.mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, u, substr(text, u, 12) AS shingle
+       |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-11))::INT AS u
+       |        FROM documents WHERE length(text) >= 12)),
+       |base AS (SELECT doc_id, CAST(($baseSum) % $mod AS HUGEINT) AS b0 FROM sh),
+       |hs AS (SELECT doc_id, ${smSql("h", "b0")} FROM base),
+       |votes AS (SELECT doc_id, $voteCols FROM hs GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, ($sigSum) AS s FROM votes)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN s IS NULL THEN 0
+       |            WHEN s >= 9223372036854775808::HUGEINT THEN s - $mod
+       |            ELSE s END AS BIGINT) AS sig
+       |FROM documents d LEFT JOIN sigs ON d.doc_id = sigs.doc_id""".stripMargin
+  }
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -1170,6 +1205,10 @@ object Queries {
          |SELECT a_id, b_id, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
          |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
          |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3""".stripMargin,
+    // every 64-bit SimHash signature recomputed in closed form (was
+    // rows-only through r6; the feature hash is splitmix64-based by design
+    // so SQL can replay it — see q07OracleSql)
+    "q07_simhash" -> q07OracleSql,
     "q08_text_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars2,

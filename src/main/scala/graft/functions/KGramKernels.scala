@@ -66,27 +66,50 @@ object KGramKernels {
   }
 
   /** 64-bit SimHash over n-char shingles: sum per-bit votes of shingle
-    * fingerprints weighted +-1, sign -> bit.
+    * feature hashes weighted +-1, sign -> bit (tie -> 0).
+    *
+    * The feature hash is splitmix64(poly31(window) + seed), where poly31 is
+    * the base-31 polynomial over the window's UTF-16 code units mod 2^64
+    * (ASCII text: code units == bytes, and the rolling update
+    * h' = (h - c_out*31^(n-1))*31 + c_in runs allocation-free over the byte
+    * array). Chosen over XXH64 deliberately: splitmix64 is a full-avalanche
+    * finalizer of equivalent mixing quality for this use AND is exactly
+    * reproducible in portable integer SQL — the q07 DuckDB oracle recomputes
+    * every signature in closed form (HUGEINT mod-2^64 limb arithmetic), so
+    * SimHash carries a hash-exact driver check instead of a rows-only one.
     */
   def simhash(text: UTF8String, n: Int, seed: Long): Long = {
     val bytes = text.getBytes
     val votes = new Array[Int](64)
+    // 31^(n-1) mod 2^64, for the rolling window update
+    var pow = 1L
+    var p = 0
+    while (p < n - 1) { pow *= 31L; p += 1 }
     if (isAscii(text, bytes)) {
       val count = bytes.length - n + 1
       if (count <= 0) return 0L
-      var i = 0
+      var h = 0L
+      var j = 0
+      while (j < n) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+      vote(votes, Fingerprint.splitmix64(h + seed))
+      var i = 1
       while (i < count) {
-        vote(votes, Fingerprint.hashBytes(bytes, i, n, seed))
+        h = (h - (bytes(i - 1) & 0xffL) * pow) * 31L + (bytes(i + n - 1) & 0xffL)
+        vote(votes, Fingerprint.splitmix64(h + seed))
         i += 1
       }
     } else {
       val str = text.toString
       val count = str.length - n + 1
       if (count <= 0) return 0L
-      var i = 0
+      var h = 0L
+      var j = 0
+      while (j < n) { h = h * 31L + str.charAt(j).toLong; j += 1 }
+      vote(votes, Fingerprint.splitmix64(h + seed))
+      var i = 1
       while (i < count) {
-        val w = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        vote(votes, Fingerprint.hashBytes(w, seed))
+        h = (h - str.charAt(i - 1).toLong * pow) * 31L + str.charAt(i + n - 1).toLong
+        vote(votes, Fingerprint.splitmix64(h + seed))
         i += 1
       }
     }

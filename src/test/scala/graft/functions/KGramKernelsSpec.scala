@@ -47,10 +47,15 @@ class KGramKernelsSpec extends AnyFunSuite {
   }
 
   test("rolling simhash == substring recompute") {
+    // independent per-window recompute of the poly31+splitmix64 feature
+    // hash (the oracle-reproducible definition), validating the kernel's
+    // rolling update
     def ref(str: String, n: Int, seed: Long): Long = {
       val votes = new Array[Int](64)
       for (i <- 0 to str.length - n) {
-        val h = Fingerprint.hashBytes(str.substring(i, i + n).getBytes("UTF-8"), seed)
+        var base = 0L
+        for (j <- i until i + n) base = base * 31L + str.charAt(j).toLong
+        val h = Fingerprint.splitmix64(base + seed)
         for (b <- 0 until 64) if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
       }
       (0 until 64).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
