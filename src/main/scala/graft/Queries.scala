@@ -246,9 +246,14 @@ object Queries {
   def q06MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = docs(spark, dir)
       .select(col("doc_id"), minhash_signature(col("text"), 12, 64, 0L).as("sig"))
+    // the band key is the raw 4-slot tuple, not a rehash of it: exact
+    // bucket identity (no cross-tuple hash collisions) and exactly
+    // reproducible by the DuckDB oracle. At petabyte scale the exchange
+    // would key on a hash of the tuple to narrow the shuffle; the tuple
+    // itself stays the comparison key either way.
     val bands = sig.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 15), b -> slice(sig, b * 4 + 1, 4))")))
-      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1020,12 +1025,19 @@ object Queries {
     * +-1 vote sums per document and sign -> bit (tie -> 0). Short documents
     * (< 12 chars) sign to 0, matching the kernel's empty-window return.
     */
+  /** SQL for the base-31 polynomial of an n-char `shingle` column's
+    * codepoints, as HUGEINT terms (sum then % 2^64 = the kernels' wrapping
+    * Long arithmetic; ASCII corpus: codepoints == the kernels' code units).
+    */
+  private def poly31Sql(n: Int): String = {
+    val two64 = BigInt(2).pow(64)
+    (1 to n).map(j =>
+      s"CAST(ascii(substr(shingle, $j, 1)) AS HUGEINT) * ${BigInt(31).modPow(BigInt(n - j), two64)}::HUGEINT").mkString(" + ")
+  }
+
   private def q07OracleSql: String = {
     val mod = "18446744073709551616::HUGEINT"
-    val two64 = BigInt(2).pow(64)
-    val pows = (1 to 12).map(j => BigInt(31).modPow(BigInt(12 - j), two64))
-    val baseSum = (1 to 12).map(j =>
-      s"CAST(ascii(substr(shingle, $j, 1)) AS HUGEINT) * ${pows(j - 1)}::HUGEINT").mkString(" + ")
+    val baseSum = poly31Sql(12)
     val voteCols = (0 until 64).map(b =>
       s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
     val sigSum = (0 until 64).map { b =>
@@ -1044,6 +1056,74 @@ object Queries {
        |            WHEN s >= 9223372036854775808::HUGEINT THEN s - $mod
        |            ELSE s END AS BIGINT) AS sig
        |FROM documents d LEFT JOIN sigs ON d.doc_id = sigs.doc_id""".stripMargin
+  }
+
+  /** Closed-form DuckDB recomputation of the q06 MinHash-LSH candidate
+    * pairs. The kernel's slot hash is splitmix64(poly31(window) + j*phi)
+    * by design (KGramKernels.minhashSignature), so the oracle rebuilds all
+    * 64 signature slots per document (signed-long MIN, matching the
+    * kernel's comparison order), forms the same 16 4-slot band tuples, and
+    * counts colliding bands per pair — LSH banding is deterministic given
+    * the hash family; "probabilistic" only describes its recall vs the
+    * exact q05 answer, which BENCH/RECALL.md keeps measuring separately.
+    */
+  private def q06OracleSql: String = {
+    val mod = "18446744073709551616::HUGEINT"
+    val golden = "11400714819323198485::HUGEINT"
+    s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($sh12)),
+       |base AS (SELECT doc_id, CAST((${poly31Sql(12)}) % $mod AS HUGEINT) AS b0 FROM sh),
+       |js AS (SELECT doc_id, b0, CAST(unnest(generate_series(0, 63)) AS HUGEINT) AS j FROM base),
+       |xs AS (SELECT doc_id, j, (b0 + (j * $golden) % $mod) % $mod AS x FROM js),
+       |hs AS (SELECT doc_id, j, ${smSql("h", "x")} FROM xs),
+       |slots AS (SELECT doc_id, j,
+       |            MIN(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+       |                          THEN h - $mod ELSE h END AS BIGINT)) AS m
+       |          FROM hs GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band, list(m ORDER BY j) AS bucket
+       |          FROM slots GROUP BY doc_id, CAST(j // 4 AS INT))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS band_matches
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Closed-form DuckDB recomputation of the q18 hyperplane-LSH pipeline.
+    * The kernel derives plane component (p, i) from splitmix64(p*1000003+i)
+    * (KGramKernels.hyperplaneSig), so the oracle rebuilds the planes as
+    * ORDERED weight lists, takes the same left-to-right double dot products
+    * as the proven float_dot/list_sum pattern (q17/q24/q27), forms the same
+    * 16 4-bit band buckets from the dot signs, joins the same candidates,
+    * and re-ranks exactly. LSH banding is deterministic given the plane
+    * family; "probabilistic" only describes recall vs the exact q17 answer,
+    * which stays measured in BENCH/RECALL.md.
+    */
+  private def q18OracleSql: String = {
+    val mod = "18446744073709551616::HUGEINT"
+    s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |             len(embedding) AS d
+       |           FROM read_parquet('$EmbOracleParquet')),
+       |pi AS (SELECT p, i, CAST(p * 1000003 + i AS HUGEINT) % $mod AS x
+       |       FROM (SELECT unnest(generate_series(0, 63)) AS p),
+       |            (SELECT unnest(generate_series(0, (SELECT MAX(d) FROM n) - 1)) AS i)),
+       |pw AS (SELECT p, i, ${smSql("h", "x")} FROM pi),
+       |wl AS (SELECT p, list(CAST(h >> 11 AS DOUBLE) * 2.220446049250313e-16 - 1.0 ORDER BY i) AS wv
+       |       FROM pw GROUP BY p),
+       |dots AS (SELECT n.vec_id, wl.p,
+       |           list_sum(list_transform(list_zip(n.v, wl.wv[1:n.d]), t -> t[1] * t[2])) AS dot
+       |         FROM n, wl),
+       |buckets AS (SELECT vec_id, CAST(p // 4 AS INT) AS band,
+       |              SUM(CASE WHEN dot > 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+       |            FROM dots GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+       |         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+       |         WHERE a.vec_id < 20 AND a.vec_id != b.vec_id),
+       |sims AS (SELECT c.qid, c.nid,
+       |           list_sum(list_transform(list_zip(q.v, m.v), t -> t[1] * t[2])) / (q.nrm * m.nrm) AS sim
+       |         FROM cand c JOIN n q ON q.vec_id = c.qid JOIN n m ON m.vec_id = c.nid)
+       |SELECT qid, rank, nid FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims)
+       |WHERE rank <= 3""".stripMargin
   }
 
   // =====================================================================
@@ -1205,6 +1285,15 @@ object Queries {
          |SELECT a_id, b_id, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
          |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
          |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3""".stripMargin,
+    // LSH band-collision candidate pairs recomputed in closed form (was
+    // rows-only through r6; the slot hash family is splitmix64-based by
+    // design so SQL can replay signatures, band tuples, and pair counts —
+    // see q06OracleSql)
+    "q06_minhash_lsh" -> q06OracleSql,
+    // hyperplane-LSH candidates + exact re-rank recomputed in closed form
+    // (was rows-only through r6; the plane family is splitmix64-based by
+    // design — see q18OracleSql)
+    "q18_embedding_lsh" -> q18OracleSql,
     // every 64-bit SimHash signature recomputed in closed form (was
     // rows-only through r6; the feature hash is splitmix64-based by design
     // so SQL can replay it — see q07OracleSql)

@@ -130,8 +130,14 @@ object KGramKernels {
     }
   }
 
-  /** MinHash signature: k minimum values of seeded xxh64 over the distinct
-    * n-char shingles (one hash family member per signature slot).
+  /** MinHash signature: k minimum values (signed-long order) of the
+    * per-window hash family h_j = splitmix64(poly31(window) + seed + j*phi)
+    * over the n-char shingles — the splitmix64 stream seeded at the
+    * window's polynomial base. The poly31 base (UTF-16 code units mod
+    * 2^64, rolling on ASCII bytes) replaces the previous XXH64 for the
+    * same reason as [[simhash]]: equivalent per-slot mixing, and exactly
+    * reproducible in portable integer SQL — the q06 DuckDB oracle rebuilds
+    * every signature, band bucket, and candidate pair in closed form.
     */
   def minhashSignature(text: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
     val bytes = text.getBytes
@@ -139,27 +145,42 @@ object KGramKernels {
     @inline def slot(base: Long): Unit = {
       var j = 0
       while (j < k) {
-        // one cheap derived hash per family member (xorshift-mix of base)
         val h = Fingerprint.splitmix64(base + j * 0x9e3779b97f4a7c15L)
         if (h < sig(j)) sig(j) = h
         j += 1
       }
     }
+    var pow = 1L
+    var p = 0
+    while (p < n - 1) { pow *= 31L; p += 1 }
     if (isAscii(text, bytes)) {
       val count = bytes.length - n + 1
-      var i = 0
-      while (i < count) {
-        slot(Fingerprint.hashBytes(bytes, i, n, seed))
-        i += 1
+      if (count > 0) {
+        var h = 0L
+        var j = 0
+        while (j < n) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+        slot(h + seed)
+        var i = 1
+        while (i < count) {
+          h = (h - (bytes(i - 1) & 0xffL) * pow) * 31L + (bytes(i + n - 1) & 0xffL)
+          slot(h + seed)
+          i += 1
+        }
       }
     } else {
       val str = text.toString
       val count = str.length - n + 1
-      var i = 0
-      while (i < count) {
-        val w = str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        slot(Fingerprint.hashBytes(w, seed))
-        i += 1
+      if (count > 0) {
+        var h = 0L
+        var j = 0
+        while (j < n) { h = h * 31L + str.charAt(j).toLong; j += 1 }
+        slot(h + seed)
+        var i = 1
+        while (i < count) {
+          h = (h - str.charAt(i - 1).toLong * pow) * 31L + str.charAt(i + n - 1).toLong
+          slot(h + seed)
+          i += 1
+        }
       }
     }
     UnsafeArrayData.fromPrimitiveArray(sig)

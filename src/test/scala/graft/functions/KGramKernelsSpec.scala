@@ -104,10 +104,14 @@ class KGramKernelsSpec extends AnyFunSuite {
   }
 
   test("rolling minhashSignature == substring recompute") {
+    // independent per-window recompute of the poly31 base (the
+    // oracle-reproducible definition), validating the rolling update
     def ref(str: String, n: Int, k: Int, seed: Long): Array[Long] = {
       val sig = Array.fill(k)(Long.MaxValue)
       for (i <- 0 to str.length - n) {
-        val base = Fingerprint.hashBytes(str.substring(i, i + n).getBytes("UTF-8"), seed)
+        var base = 0L
+        for (j <- i until i + n) base = base * 31L + str.charAt(j).toLong
+        base += seed
         for (j <- 0 until k) {
           val h = Fingerprint.splitmix64(base + j * 0x9e3779b97f4a7c15L)
           if (h < sig(j)) sig(j) = h
