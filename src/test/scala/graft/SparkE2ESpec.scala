@@ -171,6 +171,25 @@ class SparkE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("q06 band-tuple join: identical candidate pairs without broadcast (two sfs)") {
+    // r7 made the band key the raw 4-slot array (exact bucket identity,
+    // oracle-reproducible). Arrays are legal shuffle/join keys in Spark,
+    // but prove the non-broadcast degradation explicitly: with broadcasts
+    // disabled the band self-join must pick a shuffled join on the array
+    // key and return the identical pair set — the shape that runs when
+    // the corpus outgrows a broadcastable band index
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def rows() = Queries.q06MinhashLsh(spark, sf)
+        .select("a_id", "b_id", "band_matches").as[(String, String, Long)].collect().toSet
+      val withBroadcast = rows()
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert(rows() == withBroadcast, s"q06 answers changed without broadcast at $sf")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("plan shape: build uses ObjectHashAggregate partials; scan prunes columns") {
     val df = TokensTable.dataframe(spark, 50, partitions = 2)
     val bqf = SketchAggregators.bqfOverFingerprintArrays(params)
