@@ -1070,15 +1070,16 @@ object Queries {
   private def q06OracleSql: String = {
     val mod = "18446744073709551616::HUGEINT"
     val golden = "11400714819323198485::HUGEINT"
-    s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($sh12)),
-       |base AS (SELECT doc_id, CAST((${poly31Sql(12)}) % $mod AS HUGEINT) AS b0 FROM sh),
-       |js AS (SELECT doc_id, b0, CAST(unnest(generate_series(0, 63)) AS HUGEINT) AS j FROM base),
-       |xs AS (SELECT doc_id, j, (b0 + (j * $golden) % $mod) % $mod AS x FROM js),
-       |hs AS (SELECT doc_id, j, ${smSql("h", "x")} FROM xs),
-       |slots AS (SELECT doc_id, j,
+    s"""WITH shp AS (SELECT DISTINCT doc_id, shingle FROM ($sh12)),
+       |uniq AS (SELECT DISTINCT shingle FROM shp),
+       |base AS (SELECT shingle, CAST((${poly31Sql(12)}) % $mod AS HUGEINT) AS b0 FROM uniq),
+       |js AS (SELECT shingle, b0, CAST(unnest(generate_series(0, 63)) AS HUGEINT) AS j FROM base),
+       |xs AS (SELECT shingle, j, (b0 + (j * $golden) % $mod) % $mod AS x FROM js),
+       |hs AS (SELECT shingle, j, ${smSql("h", "x")} FROM xs),
+       |slots AS (SELECT p.doc_id, h.j,
        |            MIN(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
        |                          THEN h - $mod ELSE h END AS BIGINT)) AS m
-       |          FROM hs GROUP BY doc_id, j),
+       |          FROM hs h JOIN shp p USING (shingle) GROUP BY p.doc_id, h.j),
        |bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band, list(m ORDER BY j) AS bucket
        |          FROM slots GROUP BY doc_id, CAST(j // 4 AS INT))
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS band_matches
