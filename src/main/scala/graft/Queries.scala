@@ -745,11 +745,17 @@ object Queries {
     val params = TextParams
     val nBuckets = 32
     val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
-    val perShingle = shingles(spark, dir, ShingleN)
-      .groupBy(col("shingle"))
+    // occurrence counts ride the 8-byte fingerprint (rolling kernel off the
+    // document bytes, no substring materialization, q26's exchange shape);
+    // the cached dictionary joins the name back AFTER the aggregate — one
+    // (fp, shingle) row per distinct shingle, not per occurrence
+    val perShingle = docs(spark, dir).filter(length(col("text")) >= ShingleN)
+      .select(col("doc_id"), explode(shingle_fingerprints(
+        col("text"), ShingleN, params.hashBits, params.seed)).as("fp"))
+      .groupBy(col("fp"))
       .agg(count(lit(1)).as("total"),
         count(when(col("doc_id") % 5 === 0, 1)).as("removed"))
-      .withColumn("fp", fpOfShingle(col("shingle")))
+      .join(shingleDict(spark, dir), "fp")
     perShingle.select(col("shingle"), col("fp"), col("total"), col("removed"))
       .as[(String, Long, Long, Long)]
       .groupByKey { case (_, fp, _, _) => fp >>> shift }
@@ -824,11 +830,15 @@ object Queries {
       mode = graft.core.CountMode.OrderOfMagnitude, kTokens = 8, zTokens = 0, seed = 0L)
     val nBuckets = 32
     val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
-    val perShingle = shingles(spark, dir, ShingleN)
-      .groupBy(col("shingle"))
+    // same narrow-shuffle shape as q28: counts per fingerprint, name joined
+    // from the cached dictionary after the aggregate
+    val perShingle = docs(spark, dir).filter(length(col("text")) >= ShingleN)
+      .select(col("doc_id"), explode(shingle_fingerprints(
+        col("text"), ShingleN, params.hashBits, params.seed)).as("fp"))
+      .groupBy(col("fp"))
       .agg(count(lit(1)).as("total"),
         max((col("doc_id") % 5 === 0).cast("int")).as("hit"))
-      .withColumn("fp", fpOfShingle(col("shingle")))
+      .join(shingleDict(spark, dir), "fp")
     perShingle.select(col("shingle"), col("fp"), col("total"), col("hit"))
       .as[(String, Long, Long, Int)]
       .groupByKey { case (_, fp, _, _) => fp >>> shift }
