@@ -796,66 +796,20 @@ object Bench {
       // brings the host to the steady state the measured sweeps claim to
       // sample; its time is logged but excluded from every estimator.
       //
-      // The e2e series runs FIRST: the N->4N e2e pair is the named
-      // obligation, so it gets budget priority. A reserve sized to one core
-      // warm-up + ~3 core sweeps (coreReserveSec) is withheld from every
-      // e2e gate so the cheap per-executor core series always lands too.
-      // 300 s: one core warm-up + 4 sweeps measured ~240 s (rehearsals 2/3);
-      // the old 360 twice pinched a level-1 e2e fork that would have fit
-      // (reh3: 603 s left vs a 645 s gate for a 150 s fork)
-      val coreReserveSec = sys.env.getOrElse("SPARK_GRAFT_CORE_RESERVE_SEC", "300").toDouble
-      val e2eCheapest = e2eLevels.max
-      // a sweep that can hold fewer than TWO levels cannot form a
-      // same-window pair — lone cheap-level forks only polish a min-level
-      // denominator (reh3 spent ~105 s on two lone level-4 sweeps after the
-      // expensive levels stopped fitting); end the series instead
-      def pairableLevels(): Int = e2eLevels.count { c =>
-        remainingSec() > estimateWall("e2e", c) * 1.5 + reserveSec + coreReserveSec
-      }
-      if (fits("e2e", e2eCheapest, e2eCheapest, coreReserveSec)) {
-        val (e2eWarm, _, _) = BuildJob.forked(e2eLevels.max, scaleRows, nBuckets, heap)
-        // the warm-up is uniformly 1.5-3x steady-state (cold host: CPU
-        // frequency/hypervisor credit spin-up, cold page cache — 109-188 s
-        // observed vs 41-56 s steady at the same level), so as a
-        // CALIBRATION observation it enters at half weight; the first real
-        // fork replaces it under min semantics either way
-        noteWall("e2e", e2eLevels.max, e2eWarm * 0.5)
-        System.err.println(f"[bench] scaling warm-up (discarded): e2e@${e2eLevels.max} $e2eWarm%.1f s")
-        var t = 1
-        while (t <= scaleTrials && !budgetStop && {
-          val p = pairableLevels()
-          if (p < 2) {
-            anyBudgetStop = true
-            System.err.println(f"[bench] budget stop: only $p e2e level(s) still fit " +
-              f"(${remainingSec()}%.0f s left) — no same-window pair possible")
-          }
-          p >= 2
-        }) {
-          e2ePartial = Map.empty
-          e2eLevels.foreach { c =>
-            if (!budgetStop && fits("e2e", c, e2eCheapest, coreReserveSec)) {
-              val (sec, kg, _) = BuildJob.forked(c, scaleRows, nBuckets, heap)
-              if (scaleKgrams == 0L) scaleKgrams = kg
-              noteWall("e2e", c, sec)
-              e2ePartial += c -> sec
-              renderScaling()
-            }
-          }
-          if (e2ePartial.nonEmpty) {
-            val done = e2ePartial; e2eDone += done; e2ePartial = Map.empty
-            renderScaling()
-            System.err.println(s"[bench] e2e sweep $t/$scaleTrials: " +
-              e2eLevels.flatMap(c => done.get(c).map(v => s"$c=${fmt4(v)}s")).mkString(" "))
-          }
-          t += 1
-        }
-      }
-
-      // core series: budgetStop is reset so the protected reserve is
-      // actually usable after an e2e budget stop
-      budgetStop = false
+      // The CORE series runs FIRST (r7 rehearsal-6 lesson): it is cheap
+      // (~245-320 s, warm-up + 4 sweeps) and BOUNDED, so running it up
+      // front replaces the old worst-case 300 s reserve that was withheld
+      // from EVERY e2e gate. In rehearsal 6's 1.7x-slow window that
+      // reserve was exactly what blocked a second 1->4 pair (level-1 gate
+      // 301*1.5+60+300 = 811 s vs 540 s left; without the reserve the
+      // gate is 511 s and the pair fits). After core completes, its cost
+      // is KNOWN spent and every remaining second belongs to the named
+      // e2e obligation. A static floor (e2eReserveSec ~ one e2e warm-up +
+      // one {1,4} pair in a slow window) is withheld from core gates so a
+      // core-series storm cannot starve e2e either.
+      val e2eReserveSec = sys.env.getOrElse("SPARK_GRAFT_E2E_RESERVE_SEC", "700").toDouble
       val coreCheapest = coreLevels.max
-      if (fits("core", coreCheapest, coreCheapest)) {
+      if (fits("core", coreCheapest, coreCheapest, e2eReserveSec)) {
         val coreWarm = graft.core.CoreScale.forked(coreLevels.max, 128, 1200000, heap)
         noteWall("core", coreLevels.max, coreWarm * 0.5)
         System.err.println(f"[bench] scaling warm-up (discarded): core@${coreLevels.max} $coreWarm%.1f s")
@@ -863,7 +817,7 @@ object Bench {
         while (t <= coreTrials && !budgetStop) {
           val m = scala.collection.mutable.Map.empty[Int, Double]
           coreLevels.foreach { c =>
-            if (!budgetStop && fits("core", c, coreCheapest)) {
+            if (!budgetStop && fits("core", c, coreCheapest, e2eReserveSec)) {
               val w = graft.core.CoreScale.forked(c, 128, 1200000, heap)
               noteWall("core", c, w)
               m(c) = w
@@ -877,6 +831,84 @@ object Bench {
             renderScaling()
             System.err.println(s"[bench] core sweep $t/$coreTrials: " +
               coreLevels.flatMap(c => m.get(c).map(v => s"$c=${fmt4(v)}s")).mkString(" "))
+          }
+          t += 1
+        }
+      }
+
+      // e2e series: budgetStop is reset; with core already landed there is
+      // no reserve left to protect — every remaining second is e2e's.
+      budgetStop = false
+      val e2eCheapest = e2eLevels.max
+      // Within a sweep, levels run PAIR-FIRST: the two endpoints of the
+      // N->4N obligation (min level, then max level) before any middle
+      // level. The gating pair completes ~est(middle) seconds earlier per
+      // sweep, and a budget stop or abort mid-sweep keeps {1,4} instead of
+      // {1,2}. Middle levels (the adjacent-pair evidence) are CONDITIONAL:
+      // one runs only if the budget afterwards still covers a further
+      // complete {min,max} pair — a middle fork must never consume the
+      // last pair's budget (in slow windows the adjacent pairs go null in
+      // stdout and the skip is named in the JSON; the core series' step
+      // ratios carry adjacency evidence every run regardless).
+      val e2ePairLevels = Array(e2eLevels.min, e2eLevels.max).distinct
+      val e2eMidLevels = e2eLevels.filterNot(e2ePairLevels.contains)
+      val e2eSweepOrder = e2ePairLevels ++ e2eMidLevels
+      def pairCostEst(): Double =
+        e2ePairLevels.map(c => estimateWall("e2e", c) * 1.5).sum
+      def midAffordable(c: Int): Boolean = {
+        val ok = remainingSec() > estimateWall("e2e", c) * 1.5 + pairCostEst() + reserveSec
+        if (!ok) {
+          anyBudgetStop = true
+          System.err.println(f"[bench] budget skip e2e middle level $c: a further " +
+            f"{${e2eLevels.min},${e2eLevels.max}} pair takes priority (${remainingSec()}%.0f s left)")
+        }
+        ok
+      }
+      // a sweep that cannot hold BOTH pair endpoints cannot form a
+      // same-window pair — lone forks only polish a min-level endpoint
+      // (reh3 spent ~105 s on two lone level-4 sweeps; the sched-test
+      // rehearsal spent 9 s on a lone level-1 after level-4 stopped
+      // fitting mid-sweep). The gate is JOINT: the remaining budget must
+      // cover the summed estimate of both endpoints, not each one alone.
+      def pairFits(): Boolean = remainingSec() > pairCostEst() + reserveSec
+      if (fits("e2e", e2eCheapest, e2eCheapest)) {
+        val (e2eWarm, _, _) = BuildJob.forked(e2eLevels.max, scaleRows, nBuckets, heap)
+        // the warm-up is uniformly 1.5-3x steady-state (cold host: CPU
+        // frequency/hypervisor credit spin-up, cold page cache — 109-188 s
+        // observed vs 41-56 s steady at the same level), so as a
+        // CALIBRATION observation it enters at half weight; the first real
+        // fork replaces it under min semantics either way
+        noteWall("e2e", e2eLevels.max, e2eWarm * 0.5)
+        System.err.println(f"[bench] scaling warm-up (discarded): e2e@${e2eLevels.max} $e2eWarm%.1f s")
+        var t = 1
+        while (t <= scaleTrials && !budgetStop && {
+          val ok = pairFits()
+          if (!ok) {
+            anyBudgetStop = true
+            System.err.println(f"[bench] budget stop: a {${e2eLevels.min},${e2eLevels.max}} pair " +
+              f"needs ~${pairCostEst()}%.0f s + $reserveSec%.0f s reserve, ${remainingSec()}%.0f s left " +
+              "— no same-window pair possible")
+          }
+          ok
+        }) {
+          e2ePartial = Map.empty
+          e2eSweepOrder.foreach { c =>
+            val wanted =
+              if (e2ePairLevels.contains(c)) fits("e2e", c, e2eCheapest)
+              else midAffordable(c)
+            if (!budgetStop && wanted) {
+              val (sec, kg, _) = BuildJob.forked(c, scaleRows, nBuckets, heap)
+              if (scaleKgrams == 0L) scaleKgrams = kg
+              noteWall("e2e", c, sec)
+              e2ePartial += c -> sec
+              renderScaling()
+            }
+          }
+          if (e2ePartial.nonEmpty) {
+            val done = e2ePartial; e2eDone += done; e2ePartial = Map.empty
+            renderScaling()
+            System.err.println(s"[bench] e2e sweep $t/$scaleTrials: " +
+              e2eLevels.flatMap(c => done.get(c).map(v => s"$c=${fmt4(v)}s")).mkString(" "))
           }
           t += 1
         }
