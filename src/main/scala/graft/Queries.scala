@@ -591,10 +591,22 @@ object Queries {
 
   /** Companion sketches side by side: HLL distinct estimate, exact distinct,
     * count-min totals per source over text shingles.
+    *
+    * The HLL feeds on the splitmix64(poly31) shingle fingerprint family
+    * (same deliberate choice as q06/q07: equivalent avalanche quality,
+    * exactly reproducible in portable integer SQL) with `rehash = false` —
+    * the registers, the ordered 2^-M sum, and the raw estimator formula
+    * are exact IEEE arithmetic the DuckDB oracle replays bit-for-bit. The
+    * one transcendental op — ln() in the linear-counting correction, which
+    * DOES fire at this corpus's per-source shingle cardinalities (3-9k
+    * distinct, well under 2.5m = 40960) — is only specified to 1 ulp
+    * cross-engine, but the final Math.round to an integer absorbs any
+    * sub-1e-10 discrepancy unless the estimate sits within ~1e-10 of a
+    * rounding boundary; verified hash-exact at sf0.01 AND sf0.1.
     */
   def q21SketchCompare(spark: SparkSession, dir: String): DataFrame = {
-    val fps = shingle_fingerprints(col("text"), ShingleN, 48, 0L)
-    val hll = SketchAggregators.hllOverFingerprintArrays(p = 14)
+    val fps = sm_shingle_fingerprints(col("text"), ShingleN, 0L)
+    val hll = SketchAggregators.hllOverFingerprintArrays(p = 14, rehash = false)
     docs(spark, dir).filter(length(col("text")) >= ShingleN)
       .groupBy("source")
       .agg(hll(fps).as("hll_distinct"),
@@ -1098,6 +1110,58 @@ object Queries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Closed-form DuckDB recomputation of the q21 HLL distinct estimate.
+    * The sketch feeds on splitmix64(poly31) shingle fingerprints with no
+    * rehash, so SQL can rebuild every register: idx = top 14 hash bits,
+    * rank = clz(hash << 14) + 1 (bit length via bin()), register-wise MAX
+    * per source. The estimator is pure IEEE arithmetic — ordered 2^-M sums
+    * (exact powers of two, replayed by the proven list_sum pattern), the
+    * alpha formula, and floor(x+0.5) for Math.round — except ln() in the
+    * linear-counting branch, which DOES fire at this corpus's per-source
+    * cardinalities (3-9k distinct shingles < 2.5m); cross-engine ln agrees
+    * to 1 ulp and the integer rounding absorbs it (a flip would need the
+    * estimate within ~1e-10 of a .5 boundary). Verified hash-exact at
+    * sf0.01 AND sf0.1.
+    */
+  private def q21OracleSql: String = {
+    val mod = "18446744073709551616::HUGEINT"
+    s"""WITH shp AS (
+       |  SELECT DISTINCT source, substr(text, u, 8) AS shingle
+       |  FROM (SELECT source, text, unnest(generate_series(1, length(text)-7))::INT AS u
+       |        FROM documents WHERE length(text) >= 8)),
+       |uniq AS (SELECT DISTINCT shingle FROM shp),
+       |base AS (SELECT shingle, CAST((${poly31Sql(8)}) % $mod AS HUGEINT) AS b0 FROM uniq),
+       |hs AS (SELECT shingle, ${smSql("h", "b0")} FROM base),
+       |hcells AS (SELECT shingle, CAST(h >> 50 AS INT) AS idx,
+       |             CAST((h * 16384) % $mod AS UBIGINT) AS rest FROM hs),
+       |regs AS (SELECT p.source, c.idx,
+       |           MAX(CASE WHEN c.rest = 0 THEN 51
+       |                    ELSE 65 - length(bin(c.rest)) END) AS rk
+       |         FROM hcells c JOIN shp p USING (shingle)
+       |         GROUP BY p.source, c.idx),
+       |srcs AS (SELECT DISTINCT source FROM documents WHERE length(text) >= 8),
+       |grid AS (SELECT s.source, g.i FROM srcs s,
+       |           (SELECT unnest(generate_series(0, 16383))::INT AS i) g),
+       |cells AS (SELECT grid.source, grid.i, COALESCE(regs.rk, 0) AS rk
+       |          FROM grid LEFT JOIN regs ON regs.source = grid.source AND regs.idx = grid.i),
+       |sums AS (SELECT source,
+       |           list_sum(list_transform(list(rk ORDER BY i),
+       |             x -> 1.0 / CAST(1::HUGEINT << x AS DOUBLE))) AS ssum,
+       |           SUM(CASE WHEN rk = 0 THEN 1 ELSE 0 END) AS zeros
+       |         FROM cells GROUP BY source),
+       |est AS (SELECT source, zeros,
+       |          (0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0 * 16384.0 / ssum AS raw
+       |        FROM sums),
+       |hll AS (SELECT source,
+       |          CAST(floor(CASE WHEN raw <= 2.5 * 16384.0 AND zeros > 0
+       |                          THEN 16384.0 * ln(16384.0 / zeros) ELSE raw END + 0.5) AS BIGINT) AS hll_distinct
+       |        FROM est),
+       |stats AS (SELECT source, COUNT(DISTINCT text) AS distinct_texts, COUNT(*) AS n_docs
+       |          FROM documents WHERE length(text) >= 8 GROUP BY source)
+       |SELECT s.source, h.hll_distinct, s.distinct_texts, s.n_docs
+       |FROM stats s JOIN hll h USING (source) ORDER BY source""".stripMargin
+  }
+
   /** Closed-form DuckDB recomputation of the q18 hyperplane-LSH pipeline.
     * The kernel derives plane component (p, i) from splitmix64(p*1000003+i)
     * (KGramKernels.hyperplaneSig), so the oracle rebuilds the planes as
@@ -1309,6 +1373,11 @@ object Queries {
     // rows-only through r6; the feature hash is splitmix64-based by design
     // so SQL can replay it — see q07OracleSql)
     "q07_simhash" -> q07OracleSql,
+    // HLL registers + float estimator recomputed in closed form (was
+    // rows-only through r7: the sketch now feeds on the splitmix64 shingle
+    // family with no rehash, and the estimator is pure IEEE arithmetic —
+    // see q21OracleSql)
+    "q21_sketch_compare" -> q21OracleSql,
     "q08_text_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars2,

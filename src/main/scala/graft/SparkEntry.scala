@@ -15,10 +15,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for genuinely probabilistic /
-    * non-SQL-expressible ops (q06 LSH, q07 simhash, q18 LSH buckets, q21
-    * HLL, q22 t-digest/KLL) -> rows-only check; their exactness properties
-    * are asserted in the scalatest suites instead.
+    * the same parquet tables. Omitted only for q22 (t-digest/KLL centroids
+    * are merge-order-dependent — genuinely not SQL-replayable) -> rows-only
+    * check with accuracy bounds asserted in the scalatest suites. Every
+    * other entry, including the LSH/SimHash/HLL sketches (splitmix64 hash
+    * families replayed in closed form), carries a hash-exact oracle.
     */
   def oracleSql: Map[String, String] = Queries.oracles
 }

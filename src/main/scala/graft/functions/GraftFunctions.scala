@@ -35,6 +35,17 @@ case class ShingleFingerprintsExpr(child: Expression, n: Int, hashBits: Int, see
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+case class SmShingleFingerprintsExpr(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    KGramKernels.smShingleFingerprints(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KGramKernels.smShingleFingerprints($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 case class SimhashExpr(child: Expression, n: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -108,6 +119,11 @@ object GraftFunctions {
   /** Array of xxh64 fingerprints of every n-char shingle of a text column. */
   def shingle_fingerprints(text: Column, n: Int, hashBits: Int = 64, seed: Long = 0L): Column =
     col(ShingleFingerprintsExpr(expr(text), n, hashBits, seed))
+
+  /** Array of splitmix64(poly31) fingerprints of every n-char shingle —
+    * the SQL-replayable feature-hash family (see KGramKernels). */
+  def sm_shingle_fingerprints(text: Column, n: Int, seed: Long = 0L): Column =
+    col(SmShingleFingerprintsExpr(expr(text), n, seed))
 
   /** 64-bit SimHash signature of a text column over n-char shingles. */
   def simhash(text: Column, n: Int, seed: Long = 0L): Column =

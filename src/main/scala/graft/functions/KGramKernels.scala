@@ -186,6 +186,56 @@ object KGramKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Array of splitmix64(poly31(window) + seed) fingerprints of every
+    * n-char shingle — the [[simhash]]/[[minhashSignature]] feature-hash
+    * family, returned as the raw per-window array. Same rolling poly31
+    * base (UTF-16 code units mod 2^64, byte fast path on ASCII), same
+    * deliberate choice of splitmix64 over XXH64: equivalent avalanche
+    * quality for sketch feeding AND exactly reproducible in portable
+    * integer SQL, so consumers (the q21 HLL oracle) get hash-exact DuckDB
+    * checks instead of rows-only ones.
+    */
+  def smShingleFingerprints(text: UTF8String, n: Int, seed: Long): ArrayData = {
+    val bytes = text.getBytes
+    var pow = 1L
+    var p = 0
+    while (p < n - 1) { pow *= 31L; p += 1 }
+    if (isAscii(text, bytes)) {
+      val count = math.max(bytes.length - n + 1, 0)
+      val out = new Array[Long](count)
+      if (count > 0) {
+        var h = 0L
+        var j = 0
+        while (j < n) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+        out(0) = Fingerprint.splitmix64(h + seed)
+        var i = 1
+        while (i < count) {
+          h = (h - (bytes(i - 1) & 0xffL) * pow) * 31L + (bytes(i + n - 1) & 0xffL)
+          out(i) = Fingerprint.splitmix64(h + seed)
+          i += 1
+        }
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val str = text.toString
+      val count = math.max(str.length - n + 1, 0)
+      val out = new Array[Long](count)
+      if (count > 0) {
+        var h = 0L
+        var j = 0
+        while (j < n) { h = h * 31L + str.charAt(j).toLong; j += 1 }
+        out(0) = Fingerprint.splitmix64(h + seed)
+        var i = 1
+        while (i < count) {
+          h = (h - str.charAt(i - 1).toLong * pow) * 31L + str.charAt(i + n - 1).toLong
+          out(i) = Fingerprint.splitmix64(h + seed)
+          i += 1
+        }
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
   /** Sequential double-precision dot product of two float arrays — the
     * codegen-friendly replacement for `aggregate(zip_with(a, b, x*y), ...)`
     * (higher-order functions are CodegenFallback and pay interpreted lambda

@@ -122,11 +122,17 @@ class BqfMergeAggregator
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
-class HllArrayAggregator(p: Int) extends Aggregator[Array[Long], HyperLogLog, Long] {
+/** `rehash = true` (default) runs inputs through the XXH64 finalizer
+  * (addValue) — right for arbitrary values. `rehash = false` feeds inputs
+  * straight into the registers — right when they are already full-avalanche
+  * hashes (e.g. the splitmix64 shingle fingerprints q21 uses so its DuckDB
+  * oracle can replay the registers in closed form).
+  */
+class HllArrayAggregator(p: Int, rehash: Boolean = true) extends Aggregator[Array[Long], HyperLogLog, Long] {
   override def zero: HyperLogLog = new HyperLogLog(p)
   override def reduce(b: HyperLogLog, fps: Array[Long]): HyperLogLog = {
     var i = 0
-    while (i < fps.length) { b.addValue(fps(i)); i += 1 }
+    while (i < fps.length) { if (rehash) b.addValue(fps(i)) else b.add(fps(i)); i += 1 }
     b
   }
   override def merge(a: HyperLogLog, b: HyperLogLog): HyperLogLog = a.merge(b)
@@ -197,8 +203,8 @@ object SketchAggregators {
   def bqfMerge(): UserDefinedFunction =
     udaf(new BqfMergeAggregator, Encoders.BINARY)
 
-  def hllOverFingerprintArrays(p: Int = 14): UserDefinedFunction =
-    udaf(new HllArrayAggregator(p), longArrayEnc)
+  def hllOverFingerprintArrays(p: Int = 14, rehash: Boolean = true): UserDefinedFunction =
+    udaf(new HllArrayAggregator(p, rehash), longArrayEnc)
 
   def countMinOverFingerprintArrays(depth: Int = 5, widthBits: Int = 16): UserDefinedFunction =
     udaf(new CountMinArrayAggregator(depth, widthBits), longArrayEnc)

@@ -46,7 +46,10 @@ final class HyperLogLog(val p: Int) extends Serializable {
     var zeros = 0
     var i = 0
     while (i < m) {
-      sum += math.pow(2.0, -registers(i).toDouble)
+      // 1.0 / 2^reg: exact power-of-two arithmetic (reg <= 64-p+1 <= 61),
+      // summed in register order — every FP op here is reproducible
+      // bit-for-bit by the q21 DuckDB oracle's ordered list_sum replay
+      sum += 1.0 / (1L << registers(i))
       if (registers(i) == 0) zeros += 1
       i += 1
     }

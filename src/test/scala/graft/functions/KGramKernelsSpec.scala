@@ -46,6 +46,40 @@ class KGramKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling smShingleFingerprints == substring recompute") {
+    // independent per-window recompute of splitmix64(poly31(window) + seed)
+    // — the q21 HLL feed and the definition its DuckDB oracle replays
+    def ref(str: String, n: Int, seed: Long): Array[Long] =
+      (0 to str.length - n).map { i =>
+        var base = 0L
+        for (j <- i until i + n) base = base * 31L + str.charAt(j).toLong
+        Fingerprint.splitmix64(base + seed)
+      }.toArray
+    for ((alpha, ai) <- alphabets.zipWithIndex; len <- Seq(0, 7, 8, 9, 64, 300)) {
+      val s = randomText(alpha, len, 13 * ai + len)
+      val got = KGramKernels.smShingleFingerprints(UTF8String.fromString(s), 8, 5L).toLongArray()
+      assert(got.sameElements(ref(s, 8, 5L)), s"len=$len alpha=$ai")
+    }
+  }
+
+  test("HLL register feed: add(fp) direct vs addValue rehash differ, both estimate sanely") {
+    // q21 feeds registers directly (rehash = false) so its oracle can
+    // replay them; this pins the two paths apart AND the estimator
+    // accuracy of the direct path on well-mixed splitmix64 inputs
+    val direct = new graft.sketch.HyperLogLog(14)
+    val rehashed = new graft.sketch.HyperLogLog(14)
+    val n = 200000
+    for (i <- 0 until n) {
+      val fp = Fingerprint.splitmix64(i.toLong)
+      direct.add(fp)
+      rehashed.addValue(fp)
+    }
+    val e1 = direct.estimate(); val e2 = rehashed.estimate()
+    assert(math.abs(e1 - n) < n * 0.04, s"direct estimate $e1 vs $n")  // ~3 sigma at p=14
+    assert(math.abs(e2 - n) < n * 0.04, s"rehashed estimate $e2 vs $n")
+    assert(e1 != e2, "distinct register sets expected")
+  }
+
   test("rolling simhash == substring recompute") {
     // independent per-window recompute of the poly31+splitmix64 feature
     // hash (the oracle-reproducible definition), validating the kernel's
