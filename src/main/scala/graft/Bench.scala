@@ -840,17 +840,20 @@ object Bench {
       // no reserve left to protect — every remaining second is e2e's.
       budgetStop = false
       val e2eCheapest = e2eLevels.max
-      // Within a sweep, levels run PAIR-FIRST: the two endpoints of the
-      // N->4N obligation (min level, then max level) before any middle
-      // level. The gating pair completes ~est(middle) seconds earlier per
-      // sweep, and a budget stop or abort mid-sweep keeps {1,4} instead of
-      // {1,2}. Middle levels (the adjacent-pair evidence) are CONDITIONAL:
-      // one runs only if the budget afterwards still covers a further
-      // complete {min,max} pair — a middle fork must never consume the
-      // last pair's budget (in slow windows the adjacent pairs go null in
-      // stdout and the skip is named in the JSON; the core series' step
-      // ratios carry adjacency evidence every run regardless).
-      val e2ePairLevels = Array(e2eLevels.min, e2eLevels.max).distinct
+      // Within a sweep, levels run PAIR-FIRST, CHEAP ENDPOINT FIRST: the
+      // two endpoints of the N->4N obligation (max level, then min level)
+      // before any middle level. The gating pair completes ~est(middle)
+      // seconds earlier per sweep, and when the budget dies mid-sweep the
+      // stranded fork is the ~110 s cheap one, not the ~440 s expensive
+      // one (rehearsal 7 ran 1-before-4 and lost a full 439.8 s level-1
+      // fork whose level-4 partner then no longer fit). Middle levels (the
+      // adjacent-pair evidence) are CONDITIONAL: one runs only if the
+      // budget afterwards still covers a further complete {min,max} pair —
+      // a middle fork must never consume the last pair's budget (in slow
+      // windows the adjacent pairs go null in stdout and the skip is named
+      // in the JSON; the core series' step ratios carry adjacency evidence
+      // every run regardless).
+      val e2ePairLevels = Array(e2eLevels.max, e2eLevels.min).distinct
       val e2eMidLevels = e2eLevels.filterNot(e2ePairLevels.contains)
       val e2eSweepOrder = e2ePairLevels ++ e2eMidLevels
       def pairCostEst(): Double =
@@ -911,6 +914,35 @@ object Bench {
               e2eLevels.flatMap(c => done.get(c).map(v => s"$c=${fmt4(v)}s")).mkString(" "))
           }
           t += 1
+        }
+        // Top-up: full pairs no longer fit, but single endpoint forks may.
+        // Each one is another host window sampled for the min-per-level
+        // estimator (a pre-declared, method-named estimator since r4 —
+        // its raw partial sweeps ride in the detail file; clean-window
+        // ignores them by construction). Only runs once a COMPLETE
+        // same-window pair exists (lone forks with no pair anywhere were
+        // rehearsal 3's waste), prefers the endpoint with fewer samples
+        // (cheap endpoint on ties — more quiet-window chances per second),
+        // and is capped at 4 forks.
+        if (e2eDone.exists(s => e2ePairLevels.forall(s.contains))) {
+          var topped = 0
+          var more = true
+          while (topped < 4 && more) {
+            val pick = e2ePairLevels
+              .sortBy(c => (e2eDone.count(_.contains(c)), -c))
+              .find(c => remainingSec() > estimateWall("e2e", c) * 1.5 + reserveSec)
+            pick match {
+              case Some(c) =>
+                System.err.println(f"[bench] e2e top-up fork @$c (${remainingSec()}%.0f s left)")
+                val (sec, kg, _) = BuildJob.forked(c, scaleRows, nBuckets, heap)
+                if (scaleKgrams == 0L) scaleKgrams = kg
+                noteWall("e2e", c, sec)
+                e2eDone += Map(c -> sec)
+                renderScaling()
+                topped += 1
+              case None => more = false
+            }
+          }
         }
       }
       renderScaling()
