@@ -896,7 +896,22 @@ object Bench {
           e2eSweepOrder.foreach { c =>
             val wanted =
               if (e2ePairLevels.contains(c)) fits("e2e", c, e2eCheapest, e2eExtraReserve, e2eSafety)
-              else midAffordable(c)
+              else if (!havePair && e2ePartial.nonEmpty) {
+                // Fallback pair (rehearsal 9): the {min,max} endpoint was
+                // refused and NO pair exists anywhere, so a middle level
+                // that still forms a same-window smaller-ratio pair with
+                // what already landed (e.g. {2,4} after level 1 proved
+                // unaffordable in a 5x-slow window: level-4 fork 247.6 s,
+                // level-1 estimate 482 s vs 432 s left) beats recording a
+                // lone fork. Gated like a desperation endpoint: 1.0x, no
+                // core reserve.
+                val ok = fits("e2e", c, e2eCheapest, 0.0, 1.0)
+                if (ok)
+                  System.err.println(f"[bench] fallback pair: level $c joins " +
+                    s"{${e2ePartial.keys.toSeq.sorted.mkString(",")}} — the full " +
+                    s"{${e2eLevels.min},${e2eLevels.max}} pair no longer fits this window")
+                ok
+              } else midAffordable(c)
             if (!budgetStop && wanted) {
               val (sec, kg, _) = BuildJob.forked(c, scaleRows, nBuckets, heap)
               if (scaleKgrams == 0L) scaleKgrams = kg
@@ -955,15 +970,23 @@ object Bench {
         // ignores them by construction). Runs LAST, on whatever the core
         // series left over; only once a COMPLETE same-window pair exists
         // (lone forks with no pair anywhere were rehearsal 3's waste),
-        // prefers the endpoint with fewer samples (cheap endpoint on
-        // ties — more quiet-window chances per second), capped at 4 forks.
-        if (e2eDone.exists(s => e2ePairLevels.forall(s.contains))) {
+        // prefers the level with fewer samples (cheap level on ties —
+        // more quiet-window chances per second), capped at 4 forks.
+        // Eligibility: at least two distinct e2e levels observed (any
+        // cross-level min-per-level ratio is usable evidence, incl. a
+        // rehearsal-9-style {2,4} fallback pair), or one level observed
+        // and the pick would land a DIFFERENT level, completing a
+        // cross-window pair — never a lone same-level repeat (the
+        // rehearsal-3 waste).
+        {
+          def observed = e2eDone.flatMap(_.keys).toSet
           var topped = 0
           var more = true
-          while (topped < 4 && more) {
-            val pick = e2ePairLevels
+          while (topped < 4 && more && e2eDone.nonEmpty) {
+            val pick = e2eLevels
               .sortBy(c => (e2eDone.count(_.contains(c)), -c))
-              .find(c => remainingSec() > estimateWall("e2e", c) * 1.5 + reserveSec)
+              .find(c => (observed.size >= 2 || !observed.contains(c)) &&
+                remainingSec() > estimateWall("e2e", c) * 1.5 + reserveSec)
             pick match {
               case Some(c) =>
                 System.err.println(f"[bench] e2e top-up fork @$c (${remainingSec()}%.0f s left)")
