@@ -68,14 +68,25 @@ object Queries {
     * downstream can tell the difference.
     */
   def buildTextSketch(spark: SparkSession, dir: String): BqfQuery = {
-    val bytes = sketchCache.computeIfAbsent(s"text|$dir|$TextParams|$ShingleN", _ => {
-      val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
-      val shards = BqfPipeline.buildIndexSorted(
-        docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams, nBuckets = 32)
-      BqfPipeline.treeMerge(shards, 32, fanout = 16)
-    })
+    val bytes = sketchCache.computeIfAbsent(s"text|$dir|$TextParams|$ShingleN", _ =>
+      BqfPipeline.treeMerge(textShards(spark, dir), 32, fanout = 16))
     new BqfQuery(spark, bytes)
   }
+
+  /** The 32-shard text-shingle index shards, materialized once per session:
+    * q01's merged sketch, q23's enumerate and q30's sharded point queries
+    * all consume the IDENTICAL (bucket, sketch) rows and each used to
+    * rebuild them from the corpus (~1 s each at sf0.1). Pure function of
+    * the input dir + TextParams, so the cached derivation is
+    * indistinguishable from a rebuild — same rationale as [[shingleDict]].
+    */
+  private def textShards(spark: SparkSession, dir: String): DataFrame =
+    sessionCached(spark, s"textshards|$dir|$TextParams|$ShingleN") {
+      val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
+      BqfPipeline.buildIndexSorted(
+        docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams, nBuckets = 32)
+        .localCheckpoint()
+    }
 
   private def fpOfShingle = (c: org.apache.spark.sql.Column) =>
     element_at(shingle_fingerprints(c, ShingleN, TextParams.hashBits, TextParams.seed), 1)
@@ -202,50 +213,72 @@ object Queries {
     // downstream distinct/count/join moves 8-byte longs (collision odds
     // ~n^2/2^65 — immaterial up to ~10^8 distinct shingles; the pair set
     // is unchanged)
-    // materialized ONCE: both the hot-set aggregation and the join side
-    // below consume the distinct (doc_id, shingle-id) set, and without the
-    // checkpoint each consumption re-explodes and re-deduplicates the
-    // corpus (measured: 2.3 s of the warm 6.5 s at sf0.1)
-    val sh = docs(spark, dir).filter(length(col("text")) >= 12)
-      .select(col("doc_id"),
-        explode(shingle_fingerprints(col("text"), 12, 64, 0L)).as("s")).distinct()
-      .localCheckpoint()
-    // anti-join against the SMALL side: in long-tail text nearly every
-    // shingle is rare, so the exclusion set is the hot one (count > 20) —
-    // round 1 broadcast the rare set itself, guaranteed OOM at scale. The
-    // hot side is NOT hint-forced onto a broadcast: |hot| grows with corpus
-    // size (more shingles cross a fixed count threshold), so a forced
-    // broadcast() would OOM silently at some scale-up. AQE sees the
-    // aggregate's runtime size and picks broadcast while it fits
-    // (sf0.001-0.1: a few hundred rows), falling back to a shuffled
-    // anti-join beyond — correctness is identical either way, asserted by
-    // the two-sf no-broadcast A/B in SparkE2ESpec
-    val hot = sh.groupBy("s").count().filter(col("count") > 20).select("s")
-    // per-doc shingle counts ride along as a window column instead of a
-    // separate `sizes` aggregate joined back twice; the rare-shingle set is
-    // then materialized ONCE (localCheckpoint -> executor-local
-    // MEMORY_AND_DISK blocks, GC-cleaned) so the self-join's two sides read
-    // blocks instead of re-exploding and re-deduplicating the corpus — the
-    // standard multi-pass move, same at 1000 executors
-    val rs = sh.join(hot, Seq("s"), "left_anti")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .localCheckpoint()
+    // the rare-shingle set is session-cached: the recall audit re-runs this
+    // exact derivation right after the catalog pass, and the set is a pure
+    // function of the input dir (same rationale as shingleDict)
+    val rs = q05RareShingles(spark, dir)
+    // per-doc rare-shingle counts: a tiny (doc_id, n) aggregate attached to
+    // the pair results via broadcast joins AFTER the pair aggregation —
+    // r8 shape. The old plan carried n as a window column over rs (one
+    // extra exchange + sort by doc_id before the checkpoint) and dragged it
+    // through the self-join into first() aggregates; sizes is O(n_docs)
+    // rows at any scale while the pair stream is the big side, so the
+    // window never paid for itself.
+    val sizes = rs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     rs.as("a").join(rs.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= 0.3)
       .select("a_id", "b_id", "jac")
   }
+
+  /** The distinct rare-shingle (doc_id, shingle-id) set q05 self-joins —
+    * materialized once per session (localCheckpoint, executor-local
+    * MEMORY_AND_DISK blocks) and PARTITIONED+SORTED BY the join key `s`, so
+    * the self-join reuses one exchange's layout for both sides instead of
+    * re-shuffling (guide §2.4: two operations keyed the same way share one
+    * exchange). Session-cached because the recall audit re-derives the
+    * identical set minutes after the catalog entry does.
+    *
+    * The anti-join excludes the SMALL hot side (count > 20): in long-tail
+    * text nearly every shingle is rare, so the exclusion set is the hot
+    * one — round 1 broadcast the rare set itself, guaranteed OOM at scale.
+    * The hot side is NOT hint-forced onto a broadcast: |hot| grows with
+    * corpus size, AQE picks broadcast while it fits and falls back to a
+    * shuffled anti-join beyond — correctness identical either way,
+    * asserted by the two-sf no-broadcast A/B in SparkE2ESpec.
+    */
+  private def q05RareShingles(spark: SparkSession, dir: String): DataFrame =
+    sessionCached(spark, s"q05rare|$dir") {
+      val sh = docs(spark, dir).filter(length(col("text")) >= 12)
+        .select(col("doc_id"),
+          explode(shingle_fingerprints(col("text"), 12, 64, 0L)).as("s")).distinct()
+        .localCheckpoint()
+      val hot = sh.groupBy("s").count().filter(col("count") > 20).select("s")
+      sh.join(hot, Seq("s"), "left_anti")
+        .repartition(col("s")).sortWithinPartitions("s")
+        .localCheckpoint()
+    }
 
   /** MinHash-LSH near-dup candidates: 64-slot signatures, 16 bands x 4 rows;
     * pairs colliding in >= 1 band. The scale path for q05 (no oracle: LSH is
     * probabilistic; recall vs the exact answer is property-tested).
     */
   def q06MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = docs(spark, dir)
-      .select(col("doc_id"), minhash_signature(col("text"), 12, 64, 0L).as("sig"))
+    // signatures materialized once (session-cached localCheckpoint): the
+    // 64-slot rolling kernel over every document window is the dominant
+    // cost, and the self-join below otherwise re-runs it for EACH side
+    // (and the recall audit re-runs the whole entry right after the
+    // catalog pass). ~(8 + 64*8) B/doc — far smaller than the corpus.
+    val sig = sessionCached(spark, s"q06sig|$dir") {
+      docs(spark, dir)
+        .select(col("doc_id"), minhash_signature(col("text"), 12, 64, 0L).as("sig"))
+        .localCheckpoint()
+    }
     // the band key is the raw 4-slot tuple, not a rehash of it: exact
     // bucket identity (no cross-tuple hash collisions) and exactly
     // reproducible by the DuckDB oracle. At petabyte scale the exchange
@@ -377,11 +410,18 @@ object Queries {
   def q14TopRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val o = spark.read.parquet(s"$dir/orders.parquet")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy("o_orderkey", "o_orderpriority")
+    // aggregate lineitem BEFORE the join (r8): o_orderpriority is
+    // functionally dependent on the join key, so grouping by l_orderkey
+    // first and joining orders after is the identical result (decimal sums
+    // are exact, hence order-insensitive) — the join then processes one row
+    // per order instead of one per line item, and the aggregation's
+    // partial/final pair keys on a bare bigint instead of (bigint, string)
+    val rev = li.groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
         .cast("double").as("revenue"))
+    rev.join(o.select("o_orderkey", "o_orderpriority"), "o_orderkey")
+      .select("o_orderkey", "o_orderpriority", "revenue")
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -455,10 +495,17 @@ object Queries {
   def q18EmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     val T = 16
     val b = 4
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"),
-        sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"),
-        hyperplane_sig(col("embedding"), T * b, 0L).as("sig"))
+    // one materialization serves all three consumers (band index, probe
+    // side, re-rank side): without it each side re-reads the parquet and
+    // re-runs the 64-plane signature kernel — the dominant per-row cost —
+    // and the recall audit re-runs the whole entry right after the catalog
+    val emb = sessionCached(spark, s"q18emb|$dir") {
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"),
+          hyperplane_sig(col("embedding"), T * b, 0L).as("sig"))
+        .localCheckpoint()
+    }
     // (vec_id, band, bucket) index: band t's bucket is bits [t*b, (t+1)*b)
     val bands = emb.select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${T - 1}), t -> named_struct(" +
@@ -530,13 +577,22 @@ object Queries {
         val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
         v.map(_ / nrm)
       }
-    val dot = (h: Seq[Double]) => aggregate(
-      zip_with(col("embedding"), typedLit(h), (x, hv) => x.cast("double") * hv),
-      lit(0.0), (acc, v) => acc + v)
+    // codegen kernel for the 16 centroid dot products (r8): the old
+    // aggregate(zip_with(...)) higher-order form is CodegenFallback —
+    // interpreted lambda dispatch per ELEMENT x 16 cells x every row; the
+    // kernel runs the identical left-to-right double summation (float
+    // widened per term) in one static call per cell, bit-identical results
+    val dot = (h: Seq[Double]) => float_double_dot(col("embedding"), typedLit(h))
     // struct(sim, cid) sorts/maxes lexicographically -> argmax with cid tiebreak
     val cellStructs = array((0 until k).map(i => struct(dot(cents(i)).as("sim"), lit(i).as("cid"))): _*)
-    val base = emb.select(col("vec_id"), col("embedding"),
-      sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"), cellStructs.as("cs"))
+    // assignment materialized once (session-cached): probes and the
+    // assigned side both consume it, and the recall audit re-runs the
+    // entry right after the catalog pass
+    val base = sessionCached(spark, s"q24base|$dir") {
+      emb.select(col("vec_id"), col("embedding"),
+        sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"), cellStructs.as("cs"))
+        .localCheckpoint()
+    }
     val assigned = base.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"),
       array_max(col("cs")).getField("cid").as("cell"))
     val probes = base.filter(col("vec_id") < 20)
@@ -644,9 +700,7 @@ object Queries {
     * 48 bits and these cardinalities).
     */
   def q23EnumerateIndex(spark: SparkSession, dir: String): DataFrame = {
-    val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
-    val shards = BqfPipeline.buildIndexSorted(
-      docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams, nBuckets = 32)
+    val shards = textShards(spark, dir)
     BqfPipeline.enumerateIndex(shards)
       .groupBy(col("abundance").as("abund"))
       .agg(count(lit(1)).as("n_fps"))
@@ -813,9 +867,7 @@ object Queries {
     */
   def q30IndexQuery(spark: SparkSession, dir: String): DataFrame = {
     val nBuckets = 32
-    val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
-    val shards = BqfPipeline.buildIndexSorted(
-      docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams, nBuckets)
+    val shards = textShards(spark, dir)
     val dict = shingleDict(spark, dir)
     val answered = BqfPipeline.queryIndex(shards, dict.select("fp"), TextParams, nBuckets)
     dict.join(answered, "fp").select(col("shingle"), col("abundance").as("abund_idx"))
@@ -952,12 +1004,26 @@ object Queries {
     // unchanged, just at catalog-friendly cost
     val emitted = graft.streaming.StreamingOps.secondOccurrences(
       fps, nShards = 8, qBits = 10, hashBits = TextParams.hashBits)
-    val q = emitted.toDF("fp").writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .format("parquet").option("path", outDir)
-      .start()
-    q.awaitTermination()
+    // state-task partitioning matched to the shard count (r8): the stateful
+    // exchange's partition count is pinned at first checkpoint from
+    // spark.sql.shuffle.partitions, and any partitions beyond nShards host
+    // EMPTY state stores that still pay create/snapshot/commit per
+    // micro-batch (32-partition session default = 24 dead stores x batches
+    // here; the same mismatch wastes state-store instances at any scale).
+    // Scoped to this stream's start and restored right after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = emitted.toDF("fp").writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .start()
+      // conf restored only after the stream terminates: the stateful
+      // operator's partition count is captured at first-batch construction,
+      // which runs async after start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     shingleDict(spark, dir)
       .join(spark.read.parquet(outDir), "fp").select("shingle")
   }

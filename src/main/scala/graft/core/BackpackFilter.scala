@@ -1064,6 +1064,43 @@ object BackpackFilter {
     }
   }
 
+  /** Keys-only variant of [[sortPairs]] for the all-ones build path: the
+    * bulk index build's stored counts are uniformly 1, so carrying a value
+    * array through every radix pass would double the sort's memory traffic
+    * for nothing — on this host the reduce stage is bandwidth-bound, so
+    * that factor shows directly in shard-build wall time.
+    */
+  private def sortKeys(keys: Array[Long], n: Int, keyBits: Int): Unit = {
+    if (n <= 1) return
+    val digit = 12
+    val buckets = 1 << digit
+    val mask = (buckets - 1).toLong
+    val tmp = new Array[Long](n)
+    var src = keys
+    var dst = tmp
+    val passes = (keyBits + digit - 1) / digit
+    var pass = 0
+    while (pass < passes) {
+      val shift = pass * digit
+      val count = new Array[Int](buckets + 1)
+      var i = 0
+      while (i < n) { count((((src(i) >>> shift) & mask) + 1).toInt) += 1; i += 1 }
+      i = 1
+      while (i <= buckets) { count(i) += count(i - 1); i += 1 }
+      i = 0
+      while (i < n) {
+        val b = ((src(i) >>> shift) & mask).toInt
+        val at = count(b)
+        dst(at) = src(i)
+        count(b) = at + 1
+        i += 1
+      }
+      val t = src; src = dst; dst = t
+      pass += 1
+    }
+    if (src ne keys) System.arraycopy(src, 0, keys, 0, n)
+  }
+
   /** Bulk-build a filter from (fingerprint, storedCount) entry arrays in a
     * single sequential pass — the scale path for merge/resize. The RSQF
     * layout is canonical (runs in quotient order, each starting at
@@ -1073,6 +1110,11 @@ object BackpackFilter {
     *
     * `combine`: how to fold duplicate fingerprints' stored counts
     * (saturating add for exact, max for oom).
+    *
+    * `counts == null` means ALL-ONES stored counts (the plain index build):
+    * the sort then moves keys only (half the radix memory traffic) and the
+    * combine run-length-counts duplicates — results identical to passing an
+    * explicit ones array.
     */
   def fromEntries(qBits: Int, countBits: Int, hashBits: Int, mode: CountMode,
                   kTokens: Int, zTokens: Int, seed: Long,
@@ -1081,20 +1123,23 @@ object BackpackFilter {
     val keys = new Array[Long](n0)
     var i = 0
     while (i < n0) { keys(i) = rotKey(fps(i) & maskRight(hashBits), qBits, hashBits); i += 1 }
-    val vals = java.util.Arrays.copyOf(counts, n0)
-    sortPairs(keys, vals, n0, hashBits)
+    val allOnes = counts == null
+    val vals =
+      if (allOnes) { sortKeys(keys, n0, hashBits); new Array[Long](n0) }
+      else { val v = java.util.Arrays.copyOf(counts, n0); sortPairs(keys, v, n0, hashBits); v }
 
     // 2. combine duplicate fingerprints
     val cMax = (1L << countBits) - 1
     var w = 0
     i = 0
     while (i < n0) {
-      var c = vals(i)
+      var c = if (allOnes) 1L else vals(i)
       var j = i + 1
       while (j < n0 && keys(j) == keys(i)) {
+        val cj = if (allOnes) 1L else vals(j)
         c = mode match {
-          case CountMode.Exact            => math.min(c + vals(j), cMax)
-          case CountMode.OrderOfMagnitude => math.max(c, vals(j))
+          case CountMode.Exact            => math.min(c + cj, cMax)
+          case CountMode.OrderOfMagnitude => math.max(c, cj)
         }
         j += 1
       }

@@ -24,17 +24,17 @@ object CoreScale {
         var shard = next.getAndIncrement()
         while (shard < shardsTotal) {
           val fps = new Array[Long](perShard)
-          val ones = new Array[Long](perShard)
           var i = 0
           var x = shard * 0x9E3779B97F4A7C15L
           while (i < perShard) {
             x = Fingerprint.splitmix64(x)
             fps(i) = x & ((1L << 48) - 1)
-            ones(i) = 1L
             i += 1
           }
+          // counts == null: the all-ones keys-only bulk build — the exact
+          // path the sharded index's reduce tasks run since r8
           val f = BackpackFilter.fromEntries(7, 8, 48, CountMode.Exact, 8, 2, 0L,
-            fps, ones, perShard)
+            fps, null, perShard)
           if (f.distinctCount <= 0) throw new IllegalStateException("empty shard")
           shard = next.getAndIncrement()
         }

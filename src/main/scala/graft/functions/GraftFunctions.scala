@@ -107,6 +107,21 @@ case class FloatDotExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class FloatDoubleDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KGramKernels.floatDoubleDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KGramKernels.floatDoubleDot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API surface of the fingerprint kernels. */
 object GraftFunctions {
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -140,6 +155,13 @@ object GraftFunctions {
   /** Codegen double-precision dot product of two array<float> columns. */
   def float_dot(a: Column, b: Column): Column =
     col(FloatDotExpr(expr(a), expr(b)))
+
+  /** Codegen dot product of an array<float> column with an array<double>
+    * column (typically a centroid literal): each float widened to double,
+    * summed left to right — bit-identical to the aggregate/zip_with form.
+    */
+  def float_double_dot(a: Column, b: Column): Column =
+    col(FloatDoubleDotExpr(expr(a), expr(b)))
 
   /** Signed-random-projection signature (seed-derived hyperplanes). */
   def hyperplane_sig(embedding: Column, planes: Int, seed: Long = 0L): Column =

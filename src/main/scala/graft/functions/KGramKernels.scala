@@ -260,6 +260,25 @@ object KGramKernels {
     s
   }
 
+  /** Sequential double-precision dot product of a float array with a double
+    * array (e.g. a unit-normalized centroid literal) — the codegen
+    * replacement for `aggregate(zip_with(v, lit(c), x.cast(double) * c),
+    * 0.0, +)`: identical left-to-right 0-seeded summation with the float
+    * element widened per term, so results are bit-identical to the lambda
+    * form and to the DuckDB list_sum oracle.
+    */
+  def floatDoubleDot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toDoubleArray()
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"float_double_dot: array lengths differ (${x.length} vs ${y.length})")
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i).toDouble * y(i); i += 1 }
+    s
+  }
+
   /** Signed-random-projection signature: bit p of the result is the sign of
     * the dot product between the embedding and pseudo-random hyperplane p,
     * where plane component (p, i) is derived from splitmix64(seed + p *

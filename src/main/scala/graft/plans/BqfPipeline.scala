@@ -76,9 +76,7 @@ object BqfPipeline {
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
         gatherChunks(it.map { case (b, c) => (b, c, null) }).map { case (bucket, fps, _) =>
-          val ones = new Array[Long](fps.length)
-          java.util.Arrays.fill(ones, 1L)
-          (bucket, buildShard(fps, ones, params))
+          (bucket, buildShard(fps, null, params))
         }
       }
       .toDF("bucket", "sketch")
@@ -104,9 +102,7 @@ object BqfPipeline {
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
         gatherChunks(it.map { case (b, c) => (b, c, null) }).map { case (bucket, fps, _) =>
-          val ones = new Array[Long](fps.length)
-          java.util.Arrays.fill(ones, 1L)
-          (bucket, buildShard(fps, ones, params))
+          (bucket, buildShard(fps, null, params))
         }
       }
       .toDF("bucket", "sketch")
@@ -130,6 +126,10 @@ object BqfPipeline {
       private val queue = scala.collection.mutable.Queue.empty[(Long, Array[Long])]
       private var nBuffered = 0L
       private val flushAt = 4L << 20
+      // expected entries per bucket per flush epoch (uniform fingerprints):
+      // pre-sizing the builders removes the doubling-growth copies, which
+      // at full flush epochs re-copy roughly the whole buffered volume
+      private val hint = math.min(flushAt / nBuckets, 1L << 20).toInt
       private def flush(): Unit = {
         var b = 0
         while (b < nBuckets) {
@@ -149,7 +149,11 @@ object BqfPipeline {
                 val fp = fps(i)
                 val b = (fp >>> shift).toInt
                 var bb = builders(b)
-                if (bb == null) { bb = new scala.collection.mutable.ArrayBuilder.ofLong; builders(b) = bb }
+                if (bb == null) {
+                  bb = new scala.collection.mutable.ArrayBuilder.ofLong
+                  bb.sizeHint(hint)
+                  builders(b) = bb
+                }
                 bb.addOne(fp)
                 i += 1
               }
