@@ -69,7 +69,7 @@ object Queries {
     */
   def buildTextSketch(spark: SparkSession, dir: String): BqfQuery = {
     val bytes = sketchCache.computeIfAbsent(s"text|$dir|$TextParams|$ShingleN", _ =>
-      BqfPipeline.treeMerge(textShards(spark, dir), 32, fanout = 16))
+      BqfPipeline.treeMerge(textShards(spark, dir), 32, fanout = 32))
     new BqfQuery(spark, bytes)
   }
 
@@ -133,8 +133,17 @@ object Queries {
     */
   private def shingleDict(spark: SparkSession, dir: String): DataFrame =
     sessionCached(spark, s"dict|$dir|$ShingleN") {
-      shingles(spark, dir, ShingleN).select("shingle").distinct()
+      // dedup keyed on the 8-byte kernel fingerprint with the string riding
+      // as first(shingle) (r8): the aggregation hash table and the exchange
+      // then key on longs instead of 8-char strings — the map-side partial
+      // first() keeps the exchange at one (fp, shingle) row per distinct
+      // shingle per partition, q26's shape. fp<->shingle is 1:1 at 48 bits
+      // and these cardinalities, so first() is deterministic (all values
+      // for a key are the identical string) and the dict is unchanged.
+      shingles(spark, dir, ShingleN)
         .select(col("shingle"), fpOfShingle(col("shingle")).as("fp"))
+        .groupBy("fp").agg(first("shingle").as("shingle"))
+        .select("shingle", "fp")
         .localCheckpoint()
     }
 
@@ -637,7 +646,7 @@ object Queries {
       // sorted-index path + tree merge, same switch as buildTextSketch:
       // radix bulk build beats per-insert aggregation, output bit-identical
       val shards = BqfPipeline.buildIndexSorted(df, fps, TokParams, nBuckets = 32)
-      BqfPipeline.treeMerge(shards, 32, fanout = 16)
+      BqfPipeline.treeMerge(shards, 32, fanout = 32)
     })
     val q = new BqfQuery(spark, bytes)
     df.withColumn("st", q.sequenceStatsOf(col("tokens")))
@@ -1052,7 +1061,7 @@ object Queries {
       val shards = BqfPipeline.buildIndexSorted(
         docs(spark, dir).filter(col("doc_id") % 13 === 0 && length(col("text")) >= ShingleN),
         fps, TextParams, nBuckets = 32)
-      BqfPipeline.treeMerge(shards, 32, fanout = 16)
+      BqfPipeline.treeMerge(shards, 32, fanout = 32)
     })
     val q = new BqfQuery(spark, bytes)
     // the candidate side never materializes a shingle string: the rolling

@@ -102,19 +102,25 @@ class BqfCountedAggregator(params: BqfParams)
 /** Merges already-serialized shard sketches (tree-merge / checkpoint resume
   * stages). Null live filter until the first shard arrives.
   */
-class BqfMergeAggregator
+/** `cap` bounds how many deserialized shards are buffered before a
+  * consolidating bulk merge. A merge of exactly `width` blobs should pass
+  * cap >= width so the entries are gathered and sorted ONCE instead of in
+  * two partial passes — the blobs all arrive at the reducer regardless, so
+  * the cap changes fold count, not the memory order.
+  */
+class BqfMergeAggregator(cap: Int = 16)
     extends Aggregator[Array[Byte], BqfShards, Array[Byte]] {
   override def zero: BqfShards = new BqfShards(null, Nil)
   override def reduce(b: BqfShards, bytes: Array[Byte]): BqfShards = {
     val shard = BackpackFilter.deserialize(bytes)
     if (b.live == null) b.live = shard else b.pending = shard :: b.pending
-    if (b.pending.size >= 16) b.consolidate()
+    if (b.pending.size >= cap) b.consolidate()
     b
   }
   override def merge(a: BqfShards, b: BqfShards): BqfShards = {
     if (a.live == null) b
     else if (b.live == null) a
-    else a.absorb(b)
+    else a.absorb(b, cap)
   }
   override def finish(r: BqfShards): Array[Byte] =
     if (r.live == null) null else r.result()
@@ -200,8 +206,8 @@ object SketchAggregators {
   def bqfOverCountedFingerprints(params: BqfParams): UserDefinedFunction =
     udaf(new BqfCountedAggregator(params), longPairEnc)
 
-  def bqfMerge(): UserDefinedFunction =
-    udaf(new BqfMergeAggregator, Encoders.BINARY)
+  def bqfMerge(cap: Int = 16): UserDefinedFunction =
+    udaf(new BqfMergeAggregator(cap), Encoders.BINARY)
 
   def hllOverFingerprintArrays(p: Int = 14, rehash: Boolean = true): UserDefinedFunction =
     udaf(new HllArrayAggregator(p, rehash), longArrayEnc)

@@ -323,7 +323,7 @@ object BqfPipeline {
     * blobs per level.
     */
   def treeMerge(shards0: DataFrame, width0: Int, fanout: Int): Array[Byte] = {
-    val merge = SketchAggregators.bqfMerge()
+    val merge = SketchAggregators.bqfMerge(cap = math.max(16, fanout))
     var shards = shards0
     var width = width0
     while (width > fanout) {
