@@ -33,6 +33,23 @@ object Queries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Parallelize a parallelism-deficient scan (guide §2.5, input side): the
+    * sf corpora are single small parquet files, so a bare corpus scan runs
+    * as ONE task and everything fused into it — the rolling shingle
+    * kernels, explodes, map-side partial aggregates — serializes on one
+    * core (measured: the q05 shingle-set derivation spent 2.5 s in a
+    * single scan task at 32 cores). A round-robin exchange of the raw
+    * documents (~10 MB here) is orders of magnitude cheaper than
+    * single-threading the kernels. Scale-adaptive, not a local constant:
+    * the repartition only fires when the scan has fewer partitions than
+    * the session's parallelism — a production corpus scan has thousands of
+    * splits and this is a no-op.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** (doc_id, shingle) pairs — every n-char window of every document. The
     * shingle array is built per document INSIDE the generator, so the rows
     * leaving the explode carry (doc_id, shingle) only: the document body is
@@ -40,7 +57,7 @@ object Queries {
     * shuffles (round-1 carried `text` per exploded row — VERDICT item 2).
     */
   private def shingles(spark: SparkSession, dir: String, n: Int): DataFrame =
-    docs(spark, dir)
+    spread(docs(spark, dir))
       .filter(length(col("text")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, length(text) - ${n - 1}), u -> substring(text, u, $n))")).as("shingle"))
@@ -84,7 +101,7 @@ object Queries {
     sessionCached(spark, s"textshards|$dir|$TextParams|$ShingleN") {
       val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
       BqfPipeline.buildIndexSorted(
-        docs(spark, dir).filter(length(col("text")) >= ShingleN), fps, TextParams, nBuckets = 32)
+        spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN), fps, TextParams, nBuckets = 32)
         .localCheckpoint()
     }
 
@@ -180,7 +197,7 @@ object Queries {
   /** Membership over a mixed present/absent probe set. */
   def q03BqfMembership(spark: SparkSession, dir: String): DataFrame = {
     val q = buildTextSketch(spark, dir)
-    val present = docs(spark, dir)
+    val present = spread(docs(spark, dir))
       .filter(col("doc_id") % 7 === 0 && length(col("text")) >= ShingleN)
       .select(col("text"), explode(sequence(lit(1), length(col("text")) - (ShingleN - 1))).as("u"))
       .select(expr(s"substring(text, u, $ShingleN)").as("probe")).distinct()
@@ -263,7 +280,7 @@ object Queries {
     */
   private def q05RareShingles(spark: SparkSession, dir: String): DataFrame =
     sessionCached(spark, s"q05rare|$dir") {
-      val sh = docs(spark, dir).filter(length(col("text")) >= 12)
+      val sh = spread(docs(spark, dir)).filter(length(col("text")) >= 12)
         .select(col("doc_id"),
           explode(shingle_fingerprints(col("text"), 12, 64, 0L)).as("s")).distinct()
         .localCheckpoint()
@@ -284,7 +301,7 @@ object Queries {
     // (and the recall audit re-runs the whole entry right after the
     // catalog pass). ~(8 + 64*8) B/doc — far smaller than the corpus.
     val sig = sessionCached(spark, s"q06sig|$dir") {
-      docs(spark, dir)
+      spread(docs(spark, dir))
         .select(col("doc_id"), minhash_signature(col("text"), 12, 64, 0L).as("sig"))
         .localCheckpoint()
     }
@@ -672,7 +689,7 @@ object Queries {
   def q21SketchCompare(spark: SparkSession, dir: String): DataFrame = {
     val fps = sm_shingle_fingerprints(col("text"), ShingleN, 0L)
     val hll = SketchAggregators.hllOverFingerprintArrays(p = 14, rehash = false)
-    docs(spark, dir).filter(length(col("text")) >= ShingleN)
+    spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
       .groupBy("source")
       .agg(hll(fps).as("hll_distinct"),
         countDistinct(col("text")).as("distinct_texts"),
@@ -729,7 +746,7 @@ object Queries {
       // hash BEFORE the count: the exchange moves 8-byte fingerprints, not
       // shingle strings (fp<->shingle is 1:1 at 48 bits and these
       // cardinalities, so per-fp counts == per-shingle counts)
-      val counted = docs(spark, dir).filter(length(col("text")) >= ShingleN)
+      val counted = spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
         .select(explode(shingle_fingerprints(col("text"), ShingleN, OomParams.hashBits, OomParams.seed)).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("cnt"))
       val bqf = SketchAggregators.bqfOverCountedFingerprints(OomParams)
@@ -761,7 +778,7 @@ object Queries {
     // row per distinct shingle per input partition (map-side partial
     // first()), which on duplicate-heavy corpora is far below the
     // occurrence count — the shape that holds at 100 TB.
-    val occurrences = docs(spark, dir).filter(length(col("text")) >= ShingleN)
+    val occurrences = spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
       .select(explode(shingle_fingerprints(
         col("text"), ShingleN, TextParams.hashBits, TextParams.seed)).as("fp"))
     val emitted = occurrences
@@ -824,7 +841,7 @@ object Queries {
     // document bytes, no substring materialization, q26's exchange shape);
     // the cached dictionary joins the name back AFTER the aggregate — one
     // (fp, shingle) row per distinct shingle, not per occurrence
-    val perShingle = docs(spark, dir).filter(length(col("text")) >= ShingleN)
+    val perShingle = spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
       .select(col("doc_id"), explode(shingle_fingerprints(
         col("text"), ShingleN, params.hashBits, params.seed)).as("fp"))
       .groupBy(col("fp"))
@@ -905,7 +922,7 @@ object Queries {
     val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     // same narrow-shuffle shape as q28: counts per fingerprint, name joined
     // from the cached dictionary after the aggregate
-    val perShingle = docs(spark, dir).filter(length(col("text")) >= ShingleN)
+    val perShingle = spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
       .select(col("doc_id"), explode(shingle_fingerprints(
         col("text"), ShingleN, params.hashBits, params.seed)).as("fp"))
       .groupBy(col("fp"))
@@ -963,8 +980,12 @@ object Queries {
     val inDir = stagedTextDir(spark, dir)
     val stream = spark.readStream.schema(d.select("text").schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val fps = stream.select(explode(shingle_fingerprints(
-      col("text"), ShingleN, TextParams.hashBits, TextParams.seed)).as("fp"))
+    // each micro-batch is ONE staged file -> one scan task; the round-robin
+    // exchange parallelizes the shingle kernel over the session's cores
+    // (same rationale as the batch-side spread helper)
+    val fps = stream.repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(shingle_fingerprints(
+        col("text"), ShingleN, TextParams.hashBits, TextParams.seed)).as("fp"))
     val q = fps.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
@@ -1004,6 +1025,8 @@ object Queries {
     // setup shared with q32, read through this entry's own checkpoint)
     val fps = spark.readStream.schema(d.select("text").schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedTextDir(spark, dir))
+      // one staged file per micro-batch -> parallelize the kernel (see q32)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(shingle_fingerprints(
         col("text"), ShingleN, TextParams.hashBits, TextParams.seed)).as("fp"))
       .as[Long]
@@ -1059,7 +1082,7 @@ object Queries {
     val bytes = sketchCache.computeIfAbsent(s"decon|$dir|$TextParams|$ShingleN", _ => {
       val fps = shingle_fingerprints(col("text"), ShingleN, TextParams.hashBits, TextParams.seed)
       val shards = BqfPipeline.buildIndexSorted(
-        docs(spark, dir).filter(col("doc_id") % 13 === 0 && length(col("text")) >= ShingleN),
+        spread(docs(spark, dir)).filter(col("doc_id") % 13 === 0 && length(col("text")) >= ShingleN),
         fps, TextParams, nBuckets = 32)
       BqfPipeline.treeMerge(shards, 32, fanout = 32)
     })
@@ -1071,7 +1094,7 @@ object Queries {
     // is exactly what the sketch answers on; a within-doc fp collision of
     // two present shingles has odds ~windows^2/2^hashBits, immaterial, and
     // the sf0.01+sf0.1 oracles stay hash-exact)
-    docs(spark, dir)
+    spread(docs(spark, dir))
       .filter(col("doc_id") % 13 =!= 0 && length(col("text")) >= ShingleN)
       .select(col("doc_id"), explode(shingle_fingerprints(
         col("text"), ShingleN, TextParams.hashBits, TextParams.seed)).as("fp"))
