@@ -442,7 +442,7 @@ object Queries {
     // are exact, hence order-insensitive) — the join then processes one row
     // per order instead of one per line item, and the aggregation's
     // partial/final pair keys on a bare bigint instead of (bigint, string)
-    val rev = li.groupBy(col("l_orderkey").as("o_orderkey"))
+    val rev = spread(li).groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
         .cast("double").as("revenue"))
@@ -468,7 +468,7 @@ object Queries {
 
   /** JSON extraction from event properties. */
   def q16JsonProps(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    spread(spark.read.parquet(s"$dir/events.parquet"))
       .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .agg(count(lit(1)).as("n"))
 

@@ -27,8 +27,12 @@ case class BqfAbundanceExpr(child: Expression, bc: Broadcast[SketchRef])
     bc.value.filter.abundance(input.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("bqfBc", bc, classOf[Broadcast[SketchRef]].getName)
-    defineCodeGen(ctx, ev, c =>
-      s"((graft.operators.SketchRef) $bcRef.value()).filter().abundance($c)")
+    // resolve broadcast.value() + the SketchRef lazy val ONCE per generated
+    // class instance, not per row: at 10^8 probes the per-row volatile
+    // reads are measurable against a ~20 ns probe kernel
+    val f = ctx.addMutableState("graft.core.BackpackFilter", "bqfFilter",
+      v => s"$v = ((graft.operators.SketchRef) $bcRef.value()).filter();")
+    defineCodeGen(ctx, ev, c => s"$f.abundance($c)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
@@ -41,8 +45,9 @@ case class BqfContainsExpr(child: Expression, bc: Broadcast[SketchRef])
     bc.value.filter.contains(input.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("bqfBc", bc, classOf[Broadcast[SketchRef]].getName)
-    defineCodeGen(ctx, ev, c =>
-      s"((graft.operators.SketchRef) $bcRef.value()).filter().contains($c)")
+    val f = ctx.addMutableState("graft.core.BackpackFilter", "bqfFilter",
+      v => s"$v = ((graft.operators.SketchRef) $bcRef.value()).filter();")
+    defineCodeGen(ctx, ev, c => s"$f.contains($c)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
@@ -76,8 +81,9 @@ case class BqfSequenceStatsExpr(child: Expression, bc: Broadcast[SketchRef])
     BqfKernels.sequenceStatsRow(bc.value.filter, input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("bqfBc", bc, classOf[Broadcast[SketchRef]].getName)
-    defineCodeGen(ctx, ev, c =>
-      s"graft.operators.BqfKernels.sequenceStatsRow(((graft.operators.SketchRef) $bcRef.value()).filter(), $c)")
+    val f = ctx.addMutableState("graft.core.BackpackFilter", "bqfFilter",
+      v => s"$v = ((graft.operators.SketchRef) $bcRef.value()).filter();")
+    defineCodeGen(ctx, ev, c => s"graft.operators.BqfKernels.sequenceStatsRow($f, $c)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
