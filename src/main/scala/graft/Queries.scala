@@ -50,19 +50,7 @@ object Queries {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** (doc_id, shingle) pairs — every n-char window of every document. The
-    * shingle array is built per document INSIDE the generator, so the rows
-    * leaving the explode carry (doc_id, shingle) only: the document body is
-    * consumed exactly once per row and never rides through the downstream
-    * shuffles (round-1 carried `text` per exploded row — VERDICT item 2).
-    */
-  private def shingles(spark: SparkSession, dir: String, n: Int): DataFrame =
-    spread(docs(spark, dir))
-      .filter(length(col("text")) >= n)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, length(text) - ${n - 1}), u -> substring(text, u, $n))")).as("shingle"))
-
-  /** DuckDB-side equivalent of [[shingles]] (shared CTE text). */
+  /** DuckDB-side (doc_id, shingle) window CTE shared by the oracles. */
   private def shinglesSql(n: Int): String =
     s"""SELECT doc_id, substr(text, u, $n) AS shingle FROM (
        |  SELECT doc_id, text, unnest(generate_series(1, length(text)-${n - 1}))::INT AS u
@@ -157,8 +145,14 @@ object Queries {
       // shingle per partition, q26's shape. fp<->shingle is 1:1 at 48 bits
       // and these cardinalities, so first() is deterministic (all values
       // for a key are the identical string) and the dict is unchanged.
-      shingles(spark, dir, ShingleN)
-        .select(col("shingle"), fpOfShingle(col("shingle")).as("fp"))
+      // Fingerprints come from ONE rolling-kernel pass per document
+      // (posexplode of the window array), not a per-occurrence re-hash of
+      // each materialized substring — substring(text, pos+1, n) with the
+      // 0-based pos reproduces exactly the window the kernel hashed.
+      spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
+        .select(col("text"), posexplode(shingle_fingerprints(
+          col("text"), ShingleN, TextParams.hashBits, TextParams.seed)).as(Seq("pos", "fp")))
+        .select(col("fp"), expr(s"substring(text, pos + 1, $ShingleN)").as("shingle"))
         .groupBy("fp").agg(first("shingle").as("shingle"))
         .select("shingle", "fp")
         .localCheckpoint()

@@ -983,8 +983,19 @@ final class BackpackFilter(
       .putLong(kTokens.toLong).putLong(zTokens.toLong).putLong(sizeLimit)
       .putLong(numBlocks).putLong(nDistinct)
       .putLong(hashBits.toLong).putLong(mode.tag.toLong).putLong(seed)
-    var i = 0
-    while (i < table.length) { bb.putLong(table(i)); i += 1 }
+    // table words as one bulk copy on little-endian hosts (bit-identical to
+    // the per-word LE putLong loop it replaces): serialize sits on every
+    // blob move — shard outputs, shuffle merges, store appends — and the
+    // per-long loop was ~2 ns x 10^8 words per large build
+    if (java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        table, org.apache.spark.unsafe.Platform.LONG_ARRAY_OFFSET,
+        bb.array(), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8 * 11,
+        table.length * 8L)
+    else {
+      var i = 0
+      while (i < table.length) { bb.putLong(table(i)); i += 1 }
+    }
     bb.array()
   }
 }
@@ -1372,8 +1383,15 @@ object BackpackFilter {
     val f = new BackpackFilter(q, c, hashBits, mode, k, z, seed)
     require(f.slotBits == slotBits && f.numBlocks == nBlocks && f.table.length == expectWords,
       "corrupt sketch header")
-    var i = 0
-    while (i < f.table.length) { f.table(i) = bb.getLong; i += 1 }
+    if (java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8 * 11,
+        f.table, org.apache.spark.unsafe.Platform.LONG_ARRAY_OFFSET,
+        f.table.length * 8L)
+    else {
+      var i = 0
+      while (i < f.table.length) { f.table(i) = bb.getLong; i += 1 }
+    }
     f.sizeLimit = sizeLimit
     f.nDistinct = nDistinct
     f
