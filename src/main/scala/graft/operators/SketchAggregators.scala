@@ -47,7 +47,8 @@ final case class BqfParams(
   * so executor memory stays flat on very wide merges.
   */
 final class BqfShards(var live: BackpackFilter,
-                      var pending: List[BackpackFilter]) extends Serializable {
+                      var pending: List[BackpackFilter]) extends Serializable
+    with com.esotericsoftware.kryo.KryoSerializable {
   def absorb(other: BqfShards, cap: Int = 16): BqfShards = {
     pending = other.live :: other.pending ::: pending
     if (pending.size >= cap) consolidate()
@@ -61,6 +62,29 @@ final class BqfShards(var live: BackpackFilter,
     this
   }
   def result(): Array[Byte] = consolidate().live.serialize()
+
+  // Kryo moves these buffers across every partial-aggregation exchange;
+  // the default field serializer walks the filter object graph and writes
+  // the table array element-wise. Routing through the filter's own
+  // serialize()/deserialize() ships the canonical blob with one bulk copy
+  // instead — and consolidating first means a buffer crosses the wire as
+  // ONE filter, which the receiving merge had to fold anyway.
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+                     output: com.esotericsoftware.kryo.io.Output): Unit = {
+    consolidate()
+    if (live == null) output.writeInt(-1)
+    else {
+      val b = live.serialize()
+      output.writeInt(b.length)
+      output.writeBytes(b)
+    }
+  }
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+                    input: com.esotericsoftware.kryo.io.Input): Unit = {
+    val n = input.readInt()
+    live = if (n < 0) null else BackpackFilter.deserialize(input.readBytes(n))
+    pending = Nil
+  }
 }
 
 /** The central mergeable UDAF of the library: each executor folds the
