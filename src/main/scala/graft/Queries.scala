@@ -436,7 +436,7 @@ object Queries {
     // are exact, hence order-insensitive) — the join then processes one row
     // per order instead of one per line item, and the aggregation's
     // partial/final pair keys on a bare bigint instead of (bigint, string)
-    val rev = spread(li).groupBy(col("l_orderkey").as("o_orderkey"))
+    val rev = li.groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
         .cast("double").as("revenue"))
@@ -462,7 +462,7 @@ object Queries {
 
   /** JSON extraction from event properties. */
   def q16JsonProps(spark: SparkSession, dir: String): DataFrame =
-    spread(spark.read.parquet(s"$dir/events.parquet"))
+    spark.read.parquet(s"$dir/events.parquet")
       .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .agg(count(lit(1)).as("n"))
 
@@ -683,7 +683,7 @@ object Queries {
   def q21SketchCompare(spark: SparkSession, dir: String): DataFrame = {
     val fps = sm_shingle_fingerprints(col("text"), ShingleN, 0L)
     val hll = SketchAggregators.hllOverFingerprintArrays(p = 14, rehash = false)
-    spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
+    docs(spark, dir).filter(length(col("text")) >= ShingleN)
       .groupBy("source")
       .agg(hll(fps).as("hll_distinct"),
         countDistinct(col("text")).as("distinct_texts"),
@@ -740,7 +740,7 @@ object Queries {
       // hash BEFORE the count: the exchange moves 8-byte fingerprints, not
       // shingle strings (fp<->shingle is 1:1 at 48 bits and these
       // cardinalities, so per-fp counts == per-shingle counts)
-      val counted = spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
+      val counted = docs(spark, dir).filter(length(col("text")) >= ShingleN)
         .select(explode(shingle_fingerprints(col("text"), ShingleN, OomParams.hashBits, OomParams.seed)).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("cnt"))
       val bqf = SketchAggregators.bqfOverCountedFingerprints(OomParams)
@@ -835,7 +835,7 @@ object Queries {
     // document bytes, no substring materialization, q26's exchange shape);
     // the cached dictionary joins the name back AFTER the aggregate — one
     // (fp, shingle) row per distinct shingle, not per occurrence
-    val perShingle = spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
+    val perShingle = docs(spark, dir).filter(length(col("text")) >= ShingleN)
       .select(col("doc_id"), explode(shingle_fingerprints(
         col("text"), ShingleN, params.hashBits, params.seed)).as("fp"))
       .groupBy(col("fp"))
@@ -916,7 +916,7 @@ object Queries {
     val shift = params.hashBits - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     // same narrow-shuffle shape as q28: counts per fingerprint, name joined
     // from the cached dictionary after the aggregate
-    val perShingle = spread(docs(spark, dir)).filter(length(col("text")) >= ShingleN)
+    val perShingle = docs(spark, dir).filter(length(col("text")) >= ShingleN)
       .select(col("doc_id"), explode(shingle_fingerprints(
         col("text"), ShingleN, params.hashBits, params.seed)).as("fp"))
       .groupBy(col("fp"))
